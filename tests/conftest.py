@@ -1,0 +1,42 @@
+"""Test harness: run all tests on a virtual 8-device CPU mesh.
+
+TPU hardware is single-chip in this environment; multi-chip sharding is
+validated the TPU-world way — `--xla_force_host_platform_device_count=8`
+gives 8 virtual CPU devices for jax.sharding tests (the equivalent of the
+reference's untestable-without-a-cluster DDP path, `train_addvisor.py:410`).
+Must set env before jax initializes a backend, hence module scope here.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def golden_wavs():
+    """The reference's parity fixtures: 4 wavs, 16 kHz mono 16-bit, exactly
+    80000 frames (`/root/reference/audio_samples/`)."""
+    import scipy.io.wavfile as wavfile
+
+    root = "/root/reference/audio_samples"
+    if not os.path.isdir(root):
+        pytest.skip("reference audio samples unavailable")
+    out = {}
+    for name in ("real_original", "fake_original", "real_explanation", "fake_explanation"):
+        sr, data = wavfile.read(os.path.join(root, name + ".wav"))
+        assert sr == 16000
+        out[name] = (data.astype(np.float32) / 32768.0, sr)
+    return out

@@ -1,0 +1,255 @@
+"""Typed configuration tree for the whole framework.
+
+The reference hardcodes every constant across its scripts (STFT params as ctor
+defaults in `audioprocessor.py:23-31`, lrs at `train_addvisor.py:104-105`,
+batch sizes, data roots, ...). Here everything lives in one frozen dataclass
+tree that is hashable (usable as a jit static argument) and CLI-overridable.
+
+Reference inconsistencies are made explicit config instead of silently picking
+one behavior:
+  * masking convention: training masks RAW magnitude (`loss_function.py:39-45`)
+    while eval/serving masks log1p(mag) then expm1 (`LMAC_metrics.py:138-153`).
+  * label polarity: the detector was trained with real=0 / manipulated=1
+    (`train_logReg_swapping.py:62-92`) but UI text claims 0=fake/1=real
+    (`streamlit_controlled_study.py:273`).
+  * spectrogram crop: the UNet only closes its skip connections for
+    (512 freq x 248 frames) while the STFT yields (513 x 249); the crop the
+    reference implies (`loss_function.py:37-43`) is explicit here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass
+
+
+class MaskingConvention(str, enum.Enum):
+    """How the predicted mask is applied to the STFT magnitude.
+
+    LINEAR: relevant = mask * mag                  (training convention,
+            `loss_function.py:38-45`)
+    LOG1P:  relevant = expm1(mask * log1p(mag))    (eval/serving convention,
+            `LMAC_metrics.py:136-153`, `streamlit_controlled_study.py:174-183`)
+    """
+
+    LINEAR = "linear"
+    LOG1P = "log1p"
+
+
+class LabelPolarity(str, enum.Enum):
+    """Which class the positive detector logit means.
+
+    MANIPULATED_IS_ONE matches how the sklearn LogReg was actually trained
+    (real=0, band-swapped=1, `train_logReg_swapping.py:62-92`).
+    """
+
+    MANIPULATED_IS_ONE = "manipulated_is_one"
+    REAL_IS_ONE = "real_is_one"
+
+
+@dataclass(frozen=True)
+class STFTConfig:
+    """STFT convention of the reference (`audioprocessor.py:23-31,102-112`).
+
+    No window argument to torch.stft means a rectangular (all-ones) window of
+    `win_length`, zero-padded centered to `n_fft`. hop=322 is load-bearing:
+    1 + 80000//322 = 249 STFT frames = 249 wav2vec2 frames (the conv encoder
+    downsamples by 5*2^6=320), aligning mask frames with SSL feature frames.
+    """
+
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    hop_length: int = 322
+    win_length: int = 644
+    window: str = "rect"  # "rect" | "hann"
+    center: bool = True
+    pad_mode: str = "reflect"
+
+    @property
+    def num_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Fixed-length clip contract (`audioprocessor.py:49-63`): 5 s @ 16 kHz,
+    right-zero-padded or cropped to exactly 80000 samples."""
+
+    sample_rate: int = 16000
+    clip_seconds: float = 5.0
+
+    @property
+    def num_samples(self) -> int:
+        return int(self.clip_seconds * self.sample_rate)
+
+    def num_frames(self, stft: STFTConfig) -> int:
+        assert stft.center
+        return 1 + self.num_samples // stft.hop_length
+
+
+@dataclass(frozen=True)
+class MelConfig:
+    """Mel transform used on the vocoder path (`hifigan.py:163-178`):
+    hop 256, win 1024, 80 mels, f_max 8 kHz, slaney norm+scale, power 1,
+    log-compression. (The 80-mel transform constructed in
+    `audioprocessor.py:38-44` is dead code in the reference pipeline.)"""
+
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mels: int = 80
+    f_min: float = 0.0
+    f_max: float = 8000.0
+    power: float = 1.0
+    norm: str = "slaney"
+    mel_scale: str = "slaney"
+    compression: bool = True
+    compression_clip: float = 1e-5
+
+
+@dataclass(frozen=True)
+class EmbedderConfig:
+    """Truncated wav2vec2 XLS-R-2B (`classifier_embedder.py:13-18`): hidden
+    1920, and only layers up to hidden_states[9] are consumed
+    (`audioprocessor.py:76-77`), i.e. embeddings + 9 transformer layers.
+
+    Defaults mirror facebook/wav2vec2-xls-r-2b; `tiny()` builds a small config
+    for tests.
+    """
+
+    hidden_size: int = 1920
+    num_layers: int = 9  # transformer layers actually evaluated
+    num_heads: int = 16
+    intermediate_size: int = 7680
+    conv_dim: tuple = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple = (5, 2, 2, 2, 2, 2, 2)
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    feat_extract_norm: str = "layer"  # XLS-R uses per-conv LayerNorm
+    do_stable_layer_norm: bool = True  # pre-LN transformer (XLS-R)
+    output_layer: int = 9  # hidden_states index consumed downstream
+    dtype: str = "float32"  # compute dtype; "bfloat16" for TPU serving
+
+    @staticmethod
+    def tiny() -> "EmbedderConfig":
+        return EmbedderConfig(
+            hidden_size=32,
+            num_layers=3,
+            num_heads=2,
+            intermediate_size=64,
+            conv_dim=(8, 8, 8),
+            conv_kernel=(10, 3, 2),
+            conv_stride=(5, 2, 2),
+            num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=2,
+            output_layer=2,
+        )
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Spectrogram-magnitude mask decoder (`addvisor.py:27-84`). The input is
+    the STFT magnitude cropped to (freq_bins, frames) so every skip concat
+    closes; the reference's implied crop (513,249)->(512,248) is explicit."""
+
+    freq_bins: int = 512
+    frames: int = 248
+    base_channels: int = 32
+    leaky_slope: float = 0.2
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class FeatDecoderConfig:
+    """Legacy feature-input decoder (`ADDvisor` consumed at
+    `LMAC_metrics.py:133` / `streamlit_controlled_study.py:167` but absent
+    from the reference HEAD). Maps SSL features [B,T,H] to a (freq x frames)
+    mask compatible with `mag[:, :mask.shape[1], :]` indexing."""
+
+    feature_dim: int = 1920
+    freq_bins: int = 512
+    frames: int = 249
+    hidden: int = 512
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig:
+    """SpeechBrain tts-hifigan-libritts-16kHz generator (`hifigan.py:106-110`):
+    HiFi-GAN V1 with 256x upsampling to match the hop-256 mel frontend."""
+
+    in_channels: int = 80
+    upsample_initial_channel: int = 512
+    upsample_rates: tuple = (8, 8, 2, 2)
+    upsample_kernel_sizes: tuple = (16, 16, 4, 4)
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilations: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    leaky_slope: float = 0.1
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """LMAC loss (`loss_function.py:19-77`): learnable softplus weights over
+    [l_in, l_out, l1], init [3.0, 0.5, 3.0]; optional TV regularizer (dead in
+    the reference: computed but unused with reg_w_tv=0)."""
+
+    w_init: tuple = (3.0, 0.5, 3.0)
+    reg_w_tv: float = 0.0
+    masking: MaskingConvention = MaskingConvention.LINEAR
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Trainer (`train_addvisor.py:104-105,400`): Adam lr 3e-5 for the mask
+    decoder, Adam lr 1e-4 for the loss weights, post-step renorm of w to
+    sum=len(w) (`train_addvisor.py:379-380`)."""
+
+    model_lr: float = 3e-5
+    loss_w_lr: float = 1e-4
+    batch_size: int = 2
+    num_epochs: int = 1000
+    seed: int = 0
+    renorm_loss_w: bool = True
+    checkpoint_dir: str = "ckpts"
+    artifact_dir: str = "explanations"
+    checkpoint_every: int = 1
+    donate_buffers: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh. The reference's only parallelism is DDP via HF Accelerate
+    (`train_addvisor.py:410-412`); here the equivalent is a ('data','model')
+    mesh: batch sharded over 'data' (gradient psum over ICI), with optional
+    tensor sharding of the embedder MLP/attention over 'model'."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    audio: AudioConfig = AudioConfig()
+    stft: STFTConfig = STFTConfig()
+    mel: MelConfig = MelConfig()
+    embedder: EmbedderConfig = EmbedderConfig()
+    unet: UNetConfig = UNetConfig()
+    feat_decoder: FeatDecoderConfig = FeatDecoderConfig()
+    hifigan: HiFiGANConfig = HiFiGANConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+    masking: MaskingConvention = MaskingConvention.LOG1P
+    polarity: LabelPolarity = LabelPolarity.MANIPULATED_IS_ONE
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = PipelineConfig()
