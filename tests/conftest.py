@@ -4,20 +4,34 @@ TPU hardware is single-chip in this environment; multi-chip sharding is
 validated the TPU-world way — `--xla_force_host_platform_device_count=8`
 gives 8 virtual CPU devices for jax.sharding tests (the equivalent of the
 reference's untestable-without-a-cluster DDP path, `train_addvisor.py:410`).
-Must set env before jax initializes a backend, hence module scope here.
+
+NOTE: this environment's sitecustomize imports jax and registers the remote
+'axon' TPU backend before any test code runs, so env vars alone are too late
+— `jax.config.update` is the authoritative override (verified: CPU matmul is
+then exact f32, while the TPU path shows bf16 MXU rounding).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert jax.device_count() == 8, jax.devices()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,106 @@
+"""wav2vec2 embedder parity vs HF transformers (torch CPU) on a tiny
+random-init model with the XLS-R architecture flags (do_stable_layer_norm,
+feat_extract_norm="layer", conv_bias) — pins down conv geometry, LN
+placement, pos-conv weight-norm import, and hidden_states[k] semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from xai_audio_deepfakes_tpu.config import EmbedderConfig
+from xai_audio_deepfakes_tpu.models.wav2vec2 import (
+    Wav2Vec2Encoder,
+    params_from_hf_state_dict,
+)
+
+TINY = EmbedderConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def hf_tiny():
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    torch.manual_seed(0)
+    cfg = Wav2Vec2Config(
+        hidden_size=TINY.hidden_size,
+        num_hidden_layers=TINY.num_layers,
+        num_attention_heads=TINY.num_heads,
+        intermediate_size=TINY.intermediate_size,
+        conv_dim=list(TINY.conv_dim),
+        conv_kernel=list(TINY.conv_kernel),
+        conv_stride=list(TINY.conv_stride),
+        num_conv_pos_embeddings=TINY.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=TINY.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        conv_bias=True,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+    )
+    model = Wav2Vec2Model(cfg)
+    model.eval()
+    return model
+
+
+def test_hidden_states_parity(hf_tiny, rng):
+    wav = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        out = hf_tiny(torch.from_numpy(wav), output_hidden_states=True)
+    ref = out.hidden_states[TINY.output_layer].numpy()
+
+    enc = Wav2Vec2Encoder(TINY)
+    params = params_from_hf_state_dict(
+        {k: v.numpy() for k, v in hf_tiny.state_dict().items()}, TINY
+    )
+    ours = enc.apply(params, jnp.asarray(wav))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4)
+
+
+def test_all_hidden_states_parity(hf_tiny, rng):
+    """Every entry of the hidden-states tuple matches (before-layer append
+    semantics, final entry final-LN'd in HF — we only collect pre-LN)."""
+    wav = rng.standard_normal((1, 4000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        out = hf_tiny(torch.from_numpy(wav), output_hidden_states=True)
+    enc = Wav2Vec2Encoder(TINY)
+    params = params_from_hf_state_dict(
+        {k: v.numpy() for k, v in hf_tiny.state_dict().items()}, TINY
+    )
+    _, hs = enc.apply(params, jnp.asarray(wav), collect_hidden=True)
+    # HF tuple: [proj+pos, layer1_out, ..., final_LN(last)] — all but the last
+    # HF entry must match ours exactly
+    assert len(hs) == len(out.hidden_states)
+    for i in range(len(hs) - 1):
+        np.testing.assert_allclose(
+            np.asarray(hs[i]), out.hidden_states[i].numpy(), atol=5e-4,
+        )
+
+
+def test_frame_count_80000_samples():
+    """The conv encoder produces 249 frames for 80000 samples (hop-322
+    alignment trick, `audioprocessor.py:25-27` + SURVEY 2.3)."""
+    cfg = EmbedderConfig()  # full-size strides
+    length = 80000
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        length = (length - k) // s + 1
+    assert length == 249
+
+
+def test_gradients_flow_to_waveform(rng):
+    """The LMAC loss backprops through the embedder to the iSTFT output
+    (`loss_function.py:46-53`) — grads w.r.t. the waveform must exist."""
+    enc = Wav2Vec2Encoder(TINY)
+    wav = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), wav)
+
+    def f(w):
+        return jnp.sum(enc.apply(params, w) ** 2)
+
+    g = jax.grad(f)(wav)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0

@@ -131,7 +131,12 @@ class EmbedderConfig:
     layer_norm_eps: float = 1e-5
     feat_extract_norm: str = "layer"  # XLS-R uses per-conv LayerNorm
     do_stable_layer_norm: bool = True  # pre-LN transformer (XLS-R)
+    conv_bias: bool = True  # XLS-R feature-encoder convs have bias
     output_layer: int = 9  # hidden_states index consumed downstream
+    final_layer_norm: bool = False  # apply encoder-final LN to the output
+    # (hidden_states[9] of a >=10-layer truncation is NOT final-LN'd; a
+    # 9-layer truncation's last hidden state IS — configurable for parity)
+    remat: bool = False  # rematerialize encoder layers (training memory)
     dtype: str = "float32"  # compute dtype; "bfloat16" for TPU serving
 
     @staticmethod

@@ -1,0 +1,106 @@
+"""Spectrogram-magnitude -> sigmoid-mask UNet decoder (the current-generation
+ADDvisor decoder, `addvisor.py:27-84`), rebuilt NHWC/TPU-native.
+
+Geometry mirrors the reference exactly (same kernels/strides/dilations/
+channel widths) but with the latent shape bug fixed: the reference annotates
+input (B,1,512,249) yet its skip concats only close for (512, 248); the STFT
+actually yields (513, 249) and no crop exists in its visible code
+(`train_addvisor.py:251,363`). Here the input contract IS (freq 512, time
+248) — producers crop via `ops.masking.crop_spec` and consumers pad the mask
+back with `pad_mask_to_spec`, both asserted.
+
+Encoder channels 1->32->64->128->256, dilated 512-ch bottleneck (d=2 then
+d=4), transposed-conv decoder with skip concats, 1x1 conv + sigmoid head.
+Freq-only downsampling in the first two stages (stride (2,1), kernel (5,3))
+— the asymmetric design keeps all 248 frames at full resolution until stage
+3, matching `addvisor.py:31-34`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from xai_audio_deepfakes_tpu.config import UNetConfig
+
+
+class ConvBlock(nn.Module):
+    """conv(k,s,p) -> BN -> LeakyReLU -> conv(3,1,1) -> BN -> LeakyReLU
+    (`addvisor.py:12-25`)."""
+
+    features: int
+    kernel: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: tuple = (1, 1)
+    slope: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = ((self.padding[0], self.padding[0]), (self.padding[1], self.padding[1]))
+        x = nn.Conv(
+            self.features, self.kernel, strides=self.strides, padding=pad,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(x)
+        x = nn.leaky_relu(x, self.slope)
+        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn2")(x)
+        return nn.leaky_relu(x, self.slope)
+
+
+class UNetMaskDecoder(nn.Module):
+    """magnitude [B, 512, 248] (or [B,512,248,1]) -> mask [B, 512, 248] in (0,1)."""
+
+    cfg: UNetConfig = UNetConfig()
+
+    @nn.compact
+    def __call__(self, mag, train: bool = False):
+        cfg = self.cfg
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        if mag.ndim == 3:
+            x = mag[..., None]
+        else:
+            x = mag
+        assert x.shape[1:] == (cfg.freq_bins, cfg.frames, 1), x.shape
+        x = x.astype(dt)
+        c = cfg.base_channels
+        s = cfg.leaky_slope
+
+        x1 = ConvBlock(c, (5, 3), (2, 1), (2, 1), s, dt, name="e1")(x, train)      # [256,248,32]
+        x2 = ConvBlock(2 * c, (5, 3), (2, 1), (2, 1), s, dt, name="e2")(x1, train)  # [128,248,64]
+        x3 = ConvBlock(4 * c, (3, 3), (2, 2), (1, 1), s, dt, name="e3")(x2, train)  # [64,124,128]
+        x4 = ConvBlock(8 * c, (3, 3), (2, 2), (1, 1), s, dt, name="e4")(x3, train)  # [32,62,256]
+
+        # dilated bottleneck (`addvisor.py:36-43`)
+        b = nn.Conv(16 * c, (3, 3), padding=((2, 2), (2, 2)), kernel_dilation=(2, 2),
+                    dtype=dt, name="bneck_conv1")(x4)
+        b = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bneck_bn1")(b)
+        b = nn.leaky_relu(b, s)
+        b = nn.Conv(16 * c, (3, 3), padding=((4, 4), (4, 4)), kernel_dilation=(4, 4),
+                    dtype=dt, name="bneck_conv2")(b)
+        b = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bneck_bn2")(b)
+        b = nn.leaky_relu(b, s)                                                     # [32,62,512]
+
+        def up(z, feats, kernel, name):
+            return nn.ConvTranspose(feats, kernel, strides=kernel, dtype=dt, name=name)(z)
+
+        y = up(b, 8 * c, (2, 2), "up4")                                             # [64,124,256]
+        y = jnp.concatenate([y, x3.astype(dt)], axis=-1)                            # 384ch
+        y = ConvBlock(8 * c, slope=s, dtype=dt, name="d4")(y, train)
+        y = up(y, 4 * c, (2, 2), "up3")                                             # [128,248,128]
+        y = jnp.concatenate([y, x2.astype(dt)], axis=-1)                            # 192ch
+        y = ConvBlock(4 * c, slope=s, dtype=dt, name="d3")(y, train)
+        y = up(y, 2 * c, (2, 1), "up2")                                             # [256,248,64]
+        y = jnp.concatenate([y, x1.astype(dt)], axis=-1)                            # 96ch
+        y = ConvBlock(2 * c, slope=s, dtype=dt, name="d2")(y, train)
+        y = up(y, c, (2, 1), "up1")                                                 # [512,248,32]
+        y = jnp.concatenate([y, x.astype(dt)], axis=-1)                             # 33ch
+        y = ConvBlock(c, slope=s, dtype=dt, name="d1")(y, train)
+
+        y = nn.Conv(1, (1, 1), dtype=dt, name="mask_head")(y)
+        mask = jax.nn.sigmoid(y.astype(jnp.float32))
+        return mask[..., 0]  # [B, 512, 248]

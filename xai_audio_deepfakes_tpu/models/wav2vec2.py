@@ -1,0 +1,320 @@
+"""Truncated wav2vec2 XLS-R SSL embedder, TPU-native (flax linen).
+
+Reproduces the architecture the reference consumes (`classifier_embedder.py:
+13-18` loads a locally-truncated facebook/wav2vec2-xls-r-2b; the pipeline
+reads `hidden_states[9]`, `audioprocessor.py:76-77`):
+
+  waveform [B, 80000]
+    -> conv feature encoder: 7 conv1d layers, each conv -> LayerNorm -> GELU
+       (XLS-R `feat_extract_norm="layer"`), strides 5*2^6 = 320x downsample
+       -> [B, 249, 512]
+    -> feature projection: LN(512) -> Dense(512 -> 1920)
+    -> + grouped positional conv embedding (kernel 128, groups 16,
+       weight-normed in torch; effective weight materialized here)
+    -> 9 pre-LN transformer layers (XLS-R `do_stable_layer_norm=True`)
+    -> hidden_states[9] == output of layer 9, NOT final-layer-normed
+       (HF appends each state *before* running the layer; the encoder-final
+       LN only lands on the last tuple entry).
+
+TPU-first notes
+---------------
+  * NWC layout everywhere (channels last) — flax/XLA native, MXU-friendly.
+  * Attention uses plain jnp.einsum; XLA's differentiable fused attention
+    makes the reference's "disable flash SDP for backward" workaround
+    (`train_addvisor.py:21-23`) unnecessary.
+  * bf16 compute via cfg.dtype with f32 params and f32 softmax/LN.
+  * Optional per-layer remat (cfg.remat) for the 3-forward/2-backward
+    training graph of the LMAC loss.
+  * Optional 2-way+ tensor parallelism over the 'model' mesh axis is applied
+    by `parallel.sharding` via logical axis annotations on the Dense kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xai_audio_deepfakes_tpu.config import EmbedderConfig
+
+
+def _dtype(cfg: EmbedderConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class ConvLayerNormBlock(nn.Module):
+    """conv1d -> LayerNorm(channel) -> exact GELU (HF Wav2Vec2LayerNormConvLayer)."""
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool
+    eps: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):  # [B, L, C]
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,),
+            strides=(self.stride,),
+            padding="VALID",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="layer_norm")(x)
+        return jax.nn.gelu(x, approximate=False)
+
+
+class FeatureEncoder(nn.Module):
+    cfg: EmbedderConfig
+
+    @nn.compact
+    def __call__(self, wav):  # [B, L] -> [B, T, C_last]
+        x = wav[..., None].astype(_dtype(self.cfg))  # [B, L, 1]
+        for i, (dim, k, s) in enumerate(
+            zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
+        ):
+            x = ConvLayerNormBlock(
+                features=dim,
+                kernel=k,
+                stride=s,
+                use_bias=self.cfg.conv_bias,
+                eps=self.cfg.layer_norm_eps,
+                dtype=_dtype(self.cfg),
+                name=f"conv_{i}",
+            )(x)
+        return x
+
+
+class FeatureProjection(nn.Module):
+    cfg: EmbedderConfig
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, C] -> [B, T, H]
+        x = nn.LayerNorm(
+            epsilon=self.cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
+        )(x)
+        return nn.Dense(self.cfg.hidden_size, dtype=_dtype(self.cfg), name="projection")(x)
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv1d positional embedding (HF Wav2Vec2PositionalConvEmbedding).
+
+    torch uses padding=k//2 then drops the trailing element when k is even
+    (Wav2Vec2SamePadLayer). Weight norm is a torch training reparam; weights
+    are imported as the effective g * v/||v|| product.
+    """
+
+    cfg: EmbedderConfig
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, H]
+        k = self.cfg.num_conv_pos_embeddings
+        pad = k // 2
+        y = nn.Conv(
+            self.cfg.hidden_size,
+            kernel_size=(k,),
+            padding=((pad, pad),),
+            feature_group_count=self.cfg.num_conv_pos_embedding_groups,
+            dtype=_dtype(self.cfg),
+            name="conv",
+        )(x)
+        if k % 2 == 0:
+            y = y[:, :-1, :]
+        return jax.nn.gelu(y, approximate=False)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN transformer layer (HF Wav2Vec2EncoderLayerStableLayerNorm):
+    x += attn(LN(x)); x += ffn(LN(x)). Exact-GELU FFN, biased q/k/v/out."""
+
+    cfg: EmbedderConfig
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, H]
+        cfg = self.cfg
+        h = cfg.hidden_size
+        nh = cfg.num_heads
+        hd = h // nh
+        dt = _dtype(cfg)
+
+        residual = x
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(x)
+        q = nn.Dense(h, dtype=dt, name="q_proj")(y) * (hd**-0.5)
+        k = nn.Dense(h, dtype=dt, name="k_proj")(y)
+        v = nn.Dense(h, dtype=dt, name="v_proj")(y)
+        b, t = y.shape[0], y.shape[1]
+        q = q.reshape(b, t, nh, hd)
+        k = k.reshape(b, t, nh, hd)
+        v = v.reshape(b, t, nh, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h)
+        x = residual + nn.Dense(h, dtype=dt, name="out_proj")(ctx)
+
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ffn_ln")(x)
+        y = nn.Dense(cfg.intermediate_size, dtype=dt, name="ffn_in")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(h, dtype=dt, name="ffn_out")(y)
+        return x + y
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """waveform [B, L] -> SSL features [B, T, H] (== HF hidden_states[output_layer]).
+
+    Set `collect_hidden=True` to also return the full hidden-states tuple
+    (HF `output_hidden_states=True` semantics).
+    """
+
+    cfg: EmbedderConfig
+
+    @nn.compact
+    def __call__(self, wav, collect_hidden: bool = False):
+        cfg = self.cfg
+        x = FeatureEncoder(cfg, name="feature_encoder")(wav)
+        x = FeatureProjection(cfg, name="feature_projection")(x)
+        x = x + PositionalConvEmbedding(cfg, name="pos_conv")(x)
+
+        hidden_states = [x]
+        layer_cls = EncoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(EncoderLayer)
+        n_run = min(cfg.output_layer, cfg.num_layers) if not collect_hidden else cfg.num_layers
+        for i in range(n_run):
+            x = layer_cls(cfg, name=f"layer_{i}")(x)
+            hidden_states.append(x)
+
+        out = hidden_states[min(cfg.output_layer, len(hidden_states) - 1)]
+        if cfg.final_layer_norm:
+            out = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="final_ln"
+            )(out)
+        out = out.astype(jnp.float32)
+        if collect_hidden:
+            return out, tuple(h.astype(jnp.float32) for h in hidden_states)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Weight import from HF torch checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _wn_effective_weight(sd: dict, prefix: str) -> np.ndarray:
+    """Materialize torch weight_norm(conv, dim=2): w = g * v / ||v||_{dims!=2}."""
+    for g_key, v_key in (
+        (f"{prefix}.parametrizations.weight.original0", f"{prefix}.parametrizations.weight.original1"),
+        (f"{prefix}.weight_g", f"{prefix}.weight_v"),
+    ):
+        if g_key in sd:
+            g = np.asarray(sd[g_key], dtype=np.float32)
+            v = np.asarray(sd[v_key], dtype=np.float32)
+            norm = np.sqrt((v * v).sum(axis=(0, 1), keepdims=True))
+            return g * v / np.maximum(norm, 1e-12)
+    return np.asarray(sd[f"{prefix}.weight"], dtype=np.float32)
+
+
+def params_from_hf_state_dict(sd: dict, cfg: EmbedderConfig) -> dict:
+    """Map a HF Wav2Vec2Model (do_stable_layer_norm=True, feat_extract_norm=
+    "layer") torch state_dict onto this module's param tree.
+
+    torch conv weight [out, in, k] -> flax kernel [k, in, out]; torch Linear
+    weight [out, in] -> flax kernel [in, out].
+    """
+
+    def arr(key):
+        return np.asarray(sd[key], dtype=np.float32)
+
+    p: dict = {"feature_encoder": {}, "feature_projection": {}, "pos_conv": {}}
+    for i in range(len(cfg.conv_dim)):
+        blk = {
+            "conv": {
+                "kernel": arr(f"feature_extractor.conv_layers.{i}.conv.weight").transpose(2, 1, 0)
+            },
+            "layer_norm": {
+                "scale": arr(f"feature_extractor.conv_layers.{i}.layer_norm.weight"),
+                "bias": arr(f"feature_extractor.conv_layers.{i}.layer_norm.bias"),
+            },
+        }
+        if cfg.conv_bias:
+            blk["conv"]["bias"] = arr(f"feature_extractor.conv_layers.{i}.conv.bias")
+        p["feature_encoder"][f"conv_{i}"] = blk
+
+    p["feature_projection"] = {
+        "layer_norm": {
+            "scale": arr("feature_projection.layer_norm.weight"),
+            "bias": arr("feature_projection.layer_norm.bias"),
+        },
+        "projection": {
+            "kernel": arr("feature_projection.projection.weight").T,
+            "bias": arr("feature_projection.projection.bias"),
+        },
+    }
+
+    w_eff = _wn_effective_weight(sd, "encoder.pos_conv_embed.conv")  # [out, in/g, k]
+    p["pos_conv"] = {
+        "conv": {
+            "kernel": w_eff.transpose(2, 1, 0),
+            "bias": arr("encoder.pos_conv_embed.conv.bias"),
+        }
+    }
+
+    def dense(key):
+        return {"kernel": arr(f"{key}.weight").T, "bias": arr(f"{key}.bias")}
+
+    n_avail = 0
+    while f"encoder.layers.{n_avail}.layer_norm.weight" in sd:
+        n_avail += 1
+    for i in range(min(cfg.num_layers, n_avail)):
+        pre = f"encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "attn_ln": {
+                "scale": arr(f"{pre}.layer_norm.weight"),
+                "bias": arr(f"{pre}.layer_norm.bias"),
+            },
+            "q_proj": dense(f"{pre}.attention.q_proj"),
+            "k_proj": dense(f"{pre}.attention.k_proj"),
+            "v_proj": dense(f"{pre}.attention.v_proj"),
+            "out_proj": dense(f"{pre}.attention.out_proj"),
+            "ffn_ln": {
+                "scale": arr(f"{pre}.final_layer_norm.weight"),
+                "bias": arr(f"{pre}.final_layer_norm.bias"),
+            },
+            "ffn_in": dense(f"{pre}.feed_forward.intermediate_dense"),
+            "ffn_out": dense(f"{pre}.feed_forward.output_dense"),
+        }
+
+    if cfg.final_layer_norm and "encoder.layer_norm.weight" in sd:
+        p["final_ln"] = {
+            "scale": arr("encoder.layer_norm.weight"),
+            "bias": arr("encoder.layer_norm.bias"),
+        }
+
+    return jax.tree.map(jnp.asarray, {"params": p})
+
+
+def params_from_hf_dir(model_dir: str, cfg: EmbedderConfig) -> dict:
+    """Load from a local HF checkpoint directory (the reference points at
+    `/mnt/QNAP/.../wav2vec2-xls-r-2b_truncated`). Supports safetensors and
+    pytorch_model.bin; no network access."""
+    import os
+
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    else:
+        import torch
+
+        sd = torch.load(
+            os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu"
+        )
+        sd = {k: v.numpy() for k, v in sd.items()}
+    sd = {k.removeprefix("wav2vec2."): v for k, v in sd.items()}
+    return params_from_hf_state_dict(sd, cfg)
