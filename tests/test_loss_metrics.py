@@ -1,0 +1,149 @@
+"""LMAC loss, loss-weight dynamics, faithfulness metrics, and EER tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from xai_audio_deepfakes_tpu.config import LossConfig, MaskingConvention
+from xai_audio_deepfakes_tpu.losses.lmac import (
+    LMACLossState,
+    bce_with_logits,
+    lmac_loss,
+    renormalize_w,
+    softplus_weights,
+)
+from xai_audio_deepfakes_tpu.metrics.eer import compute_eer
+from xai_audio_deepfakes_tpu.metrics.lmac_metrics import (
+    compute_AD,
+    compute_AG,
+    compute_AI,
+    compute_faithfulness,
+    compute_fidelity,
+    get_score_for_predicted_class,
+    summarize,
+)
+
+
+def test_bce_matches_torch(rng):
+    logits = rng.standard_normal((8, 1)).astype(np.float32)
+    targets = rng.uniform(size=(8, 1)).astype(np.float32)
+    ours = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    ref = float(
+        torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.from_numpy(logits), torch.from_numpy(targets)
+        )
+    )
+    assert abs(ours - ref) < 1e-6
+
+
+def test_loss_weights_init_and_renorm():
+    st = LMACLossState.init(LossConfig())
+    np.testing.assert_allclose(np.asarray(st.w_raw), [3.0, 0.5, 3.0])
+    w_raw2 = renormalize_w(st.w_raw)
+    w2 = softplus_weights(w_raw2)
+    # renormalized weights sum to len(w) (`train_addvisor.py:379-380`)
+    np.testing.assert_allclose(float(jnp.sum(w2)), 3.0, atol=1e-5)
+    # proportions preserved
+    w1 = softplus_weights(st.w_raw)
+    np.testing.assert_allclose(
+        np.asarray(w2 / w2[0]), np.asarray(w1 / w1[0]), rtol=1e-5
+    )
+
+
+def test_lmac_loss_formula(rng):
+    """Verify total = sum(softplus(w_raw) * [l_in, l_out, l1]) with a linear
+    stand-in classifier (analytically checkable)."""
+    B, F, T = 2, 9, 7
+    L = 64
+    mag = jnp.asarray(rng.uniform(size=(B, F, T)).astype(np.float32))
+    phase = jnp.asarray(rng.uniform(-np.pi, np.pi, size=(B, F, T)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(B, F - 1, T - 1)).astype(np.float32))
+    class_pred = jnp.asarray(rng.uniform(size=(B, 1)).astype(np.float32))
+    w_raw = jnp.asarray([3.0, 0.5, 3.0])
+
+    proj = jnp.asarray(rng.standard_normal((F * T * 2, 1)).astype(np.float32)) * 0.01
+
+    def istft_fn(re, im):
+        return jnp.concatenate([re.reshape(B, -1), im.reshape(B, -1)], axis=-1)
+
+    def classify_wav(wav):
+        return wav @ proj
+
+    total, losses, w = lmac_loss(
+        w_raw, mask, mag, phase, class_pred, classify_wav, istft_fn, LossConfig()
+    )
+    np.testing.assert_allclose(
+        float(total), float(jnp.sum(jax.nn.softplus(w_raw) * losses)), rtol=1e-6
+    )
+    # l1 is the mean |mask| of the DECODER mask (`loss_function.py:60`)
+    np.testing.assert_allclose(float(losses[2]), float(jnp.mean(jnp.abs(mask))), rtol=1e-6)
+    assert float(losses[0]) > 0 and float(losses[1]) > 0
+
+    # gradient flows into the mask through the full chain
+    g = jax.grad(
+        lambda m: lmac_loss(
+            w_raw, m, mag, phase, class_pred, classify_wav, istft_fn, LossConfig()
+        )[0]
+    )(mask)
+    assert np.all(np.isfinite(np.asarray(g))) and float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_metrics_formulas():
+    p = jnp.asarray([[0.9], [0.2], [0.6], [0.4]])
+    pm = jnp.asarray([[0.7], [0.35], [0.2], [0.45]])
+
+    # fidelity: agreement of thresholded decisions
+    np.testing.assert_allclose(
+        np.asarray(compute_fidelity(pm, p)), [1.0, 1.0, 0.0, 1.0]
+    )
+    # score for predicted class
+    np.testing.assert_allclose(
+        np.asarray(get_score_for_predicted_class(jnp.asarray([0.8, 0.2]))),
+        [0.8, 0.8],
+    )
+    # faithfulness FF = (p - pm) * sign(p - 0.5)
+    ff = np.asarray(compute_faithfulness(p, pm))
+    np.testing.assert_allclose(
+        ff, [(0.9 - 0.7), -(0.2 - 0.35), (0.6 - 0.2), -(0.4 - 0.45)], atol=1e-6
+    )
+    # AD/AI/AG
+    pc = np.asarray(get_score_for_predicted_class(p[:, 0]))
+    oc = np.asarray(get_score_for_predicted_class(pm[:, 0]))
+    np.testing.assert_allclose(
+        np.asarray(compute_AD(pm, p)), np.maximum(pc - oc, 0) / (pc + 1e-10) * 100,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compute_AI(pm, p)), (oc > pc).astype(np.float32) * 100
+    )
+    np.testing.assert_allclose(
+        np.asarray(compute_AG(pm, p)),
+        np.maximum(oc - pc, 0) / (1 - pc + 1e-10) * 100, rtol=1e-5,
+    )
+    s = summarize(p, pm, pm)
+    assert set(s) == {
+        "faithfulness", "fidelity", "average_drop", "average_increase", "average_gain",
+    }
+
+
+def test_eer_matches_scipy_reference(rng):
+    """Our numpy EER vs the reference's brentq/interp1d construction
+    (`train_logReg_swapping.py:120-122`)."""
+    from scipy.interpolate import interp1d
+    from scipy.optimize import brentq
+    from sklearn.metrics import roc_curve as sk_roc
+
+    scores = np.concatenate([
+        rng.standard_normal(500) + 1.0, rng.standard_normal(500) - 1.0,
+    ])
+    labels = np.concatenate([np.ones(500), np.zeros(500)])
+    fpr, tpr, _ = sk_roc(labels, scores, pos_label=1)
+    ref = brentq(lambda x: 1.0 - x - interp1d(fpr, tpr)(x), 0.0, 1.0)
+    ours = compute_eer(scores, labels)
+    assert abs(ours - ref) < 5e-3, (ours, ref)
+
+
+def test_eer_extremes():
+    assert compute_eer(np.array([1, 2, 3, 4.0]), np.array([0, 0, 1, 1])) == 0.0
+    assert compute_eer(np.array([4, 3, 2, 1.0]), np.array([0, 0, 1, 1])) == 1.0

@@ -1,0 +1,199 @@
+"""End-to-end ADDvisor pipeline: wav -> STFT -> SSL features -> detector ->
+mask decoder -> masked iSTFT -> (optional mel -> HiFi-GAN) listenable
+explanation, as pure jit-compilable graphs.
+
+This replaces the reference's scattered script plumbing (`train_addvisor.py`
+collate + loop, `LMAC_metrics.py:117-158`, `streamlit_controlled_study.py:
+156-228`) with one construction point and explicit params — no import-time
+model loading (the reference loads the 2B embedder on *import* of any module,
+`audioprocessor.py:11-18`).
+
+Every stage is a pure function of (params, arrays); `ADDvisorPipeline` is a
+frozen bundle of module definitions + config, safe to close over in jit.
+One compiled XLA program covers the whole explanation path; on TPU the
+dominant cost is the embedder's matmuls (MXU), with STFT/iSTFT fused matmul
+DFTs and elementwise masking fused around them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from xai_audio_deepfakes_tpu.config import (
+    MaskingConvention,
+    PipelineConfig,
+)
+from xai_audio_deepfakes_tpu.models.feat_decoder import FeatureMaskDecoder
+from xai_audio_deepfakes_tpu.models.hifigan import HiFiGANGenerator
+from xai_audio_deepfakes_tpu.models.logreg import LogReg, logreg_apply
+from xai_audio_deepfakes_tpu.models.unet import UNetMaskDecoder
+from xai_audio_deepfakes_tpu.models.wav2vec2 import Wav2Vec2Encoder
+from xai_audio_deepfakes_tpu.ops.masking import (
+    apply_mask,
+    crop_spec,
+    pad_mask_to_spec,
+    remask_complex,
+)
+from xai_audio_deepfakes_tpu.ops.mel import mel_spectrogram
+from xai_audio_deepfakes_tpu.ops.normalize import zero_mean_unit_var_norm
+from xai_audio_deepfakes_tpu.ops.stft import istft, stft_magnitude_phase
+
+
+class ExplainOutput(NamedTuple):
+    """Everything the eval harness / UI consumes per batch
+    (mirrors `streamlit_controlled_study.py:193-226`)."""
+
+    mask: jnp.ndarray            # [B, F, T] full-spec mask (padded if needed)
+    magnitude: jnp.ndarray       # [B, 513, 249] raw |STFT|
+    phase: jnp.ndarray           # [B, 513, 249]
+    relevant_wav: jnp.ndarray    # [B, 80000] listenable explanation
+    irrelevant_wav: jnp.ndarray  # [B, 80000] complement
+    probs_clean: jnp.ndarray     # [B, 1]
+    probs_relevant: jnp.ndarray  # [B, 1]
+    probs_irrelevant: jnp.ndarray  # [B, 1]
+
+
+@dataclasses.dataclass(frozen=True)
+class ADDvisorPipeline:
+    cfg: PipelineConfig = PipelineConfig()
+
+    @property
+    def encoder(self) -> Wav2Vec2Encoder:
+        return Wav2Vec2Encoder(self.cfg.embedder)
+
+    @property
+    def unet(self) -> UNetMaskDecoder:
+        return UNetMaskDecoder(self.cfg.unet)
+
+    @property
+    def feat_decoder(self) -> FeatureMaskDecoder:
+        return FeatureMaskDecoder(self.cfg.feat_decoder)
+
+    @property
+    def hifigan(self) -> HiFiGANGenerator:
+        return HiFiGANGenerator(self.cfg.hifigan)
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array, with_hifigan: bool = False) -> dict:
+        """Random-init full param tree (weight-import utilities in models/*
+        overwrite the respective subtrees with reference checkpoints)."""
+        k_enc, k_unet, k_fd, k_hg = jax.random.split(rng, 4)
+        n = self.cfg.audio.num_samples
+        wav = jnp.zeros((1, n), jnp.float32)
+        mag = jnp.zeros((1, self.cfg.unet.freq_bins, self.cfg.unet.frames), jnp.float32)
+        feats = jnp.zeros(
+            (1, self.cfg.feat_decoder.frames, self.cfg.feat_decoder.feature_dim),
+            jnp.float32,
+        )
+        params = {
+            "encoder": self.encoder.init(k_enc, wav),
+            "unet": self.unet.init(k_unet, mag),
+            "feat_decoder": self.feat_decoder.init(k_fd, feats),
+            "logreg": LogReg.init(self.cfg.embedder.hidden_size),
+        }
+        if with_hifigan:
+            mel = jnp.zeros((1, self.cfg.mel.n_mels, 8), jnp.float32)
+            params["hifigan"] = self.hifigan.init(k_hg, mel)
+        return params
+
+    # ------------------------------------------------------------------
+    # stages (pure functions of params + arrays)
+    # ------------------------------------------------------------------
+
+    def features(self, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
+        """wav [B, L] -> SSL features [B, T, H]
+        (`audioprocessor.extract_features`: norm then hidden_states[9])."""
+        return self.encoder.apply(params["encoder"], zero_mean_unit_var_norm(wav))
+
+    def classify_features(self, params: dict, feats: jnp.ndarray):
+        """feats [B, T, H] -> (logits, probs) [B, 1] via time mean-pool
+        (`train_addvisor.py:254-255`)."""
+        return logreg_apply(params["logreg"], jnp.mean(feats, axis=1))
+
+    def classify(self, params: dict, wav: jnp.ndarray):
+        return self.classify_features(params, self.features(params, wav))
+
+    def spectrogram(self, wav: jnp.ndarray):
+        """wav [B, L] -> (real, imag, magnitude, phase), each [B, 513, 249]."""
+        return stft_magnitude_phase(wav, self.cfg.stft)
+
+    def istft(self, real: jnp.ndarray, imag: jnp.ndarray) -> jnp.ndarray:
+        return istft(real, imag, self.cfg.stft, length=self.cfg.audio.num_samples)
+
+    def predict_mask(self, params: dict, magnitude: jnp.ndarray) -> jnp.ndarray:
+        """Current-generation decoder: cropped magnitude -> UNet -> full-spec
+        mask (zero-padded on the cropped top bin / last frame)."""
+        uc = self.cfg.unet
+        mag_c = crop_spec(magnitude, uc.freq_bins, uc.frames)
+        mask = self.unet.apply(params["unet"], mag_c)
+        return pad_mask_to_spec(mask, magnitude.shape[-2], magnitude.shape[-1])
+
+    def predict_mask_from_features(self, params: dict, feats: jnp.ndarray,
+                                   magnitude: jnp.ndarray) -> jnp.ndarray:
+        """Legacy decoder consumed by `LMAC_metrics.py:133`: features -> mask
+        [B, 512, 249], padded back to full spec."""
+        mask = self.feat_decoder.apply(params["feat_decoder"], feats)
+        return pad_mask_to_spec(mask, magnitude.shape[-2], magnitude.shape[-1])
+
+    # ------------------------------------------------------------------
+    # end-to-end explanation
+    # ------------------------------------------------------------------
+
+    def explain(
+        self,
+        params: dict,
+        wav: jnp.ndarray,
+        decoder: str = "unet",
+        masking: MaskingConvention | None = None,
+    ) -> ExplainOutput:
+        """Full inference path (`LMAC_metrics.py:125-158` /
+        `streamlit_controlled_study.py:162-226`), one XLA program."""
+        masking = self.cfg.masking if masking is None else masking
+        _, _, mag, phase = self.spectrogram(wav)
+        feats = self.features(params, wav)
+        _, probs_clean = self.classify_features(params, feats)
+
+        if decoder == "unet":
+            mask = self.predict_mask(params, mag)
+        elif decoder == "features":
+            mask = self.predict_mask_from_features(params, feats, mag)
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+        rel_mag, irr_mag = apply_mask(mask, mag, masking)
+        rel_wav = self.istft(*remask_complex(rel_mag, phase))
+        irr_wav = self.istft(*remask_complex(irr_mag, phase))
+        _, probs_rel = self.classify(params, rel_wav)
+        _, probs_irr = self.classify(params, irr_wav)
+        return ExplainOutput(
+            mask=mask, magnitude=mag, phase=phase,
+            relevant_wav=rel_wav, irrelevant_wav=irr_wav,
+            probs_clean=probs_clean, probs_relevant=probs_rel,
+            probs_irrelevant=probs_irr,
+        )
+
+    def vocode(self, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
+        """Listenable synthesis: wav -> log-mel -> HiFi-GAN -> wav
+        (the `hifigan.py:163-180` path, fused into one graph)."""
+        mel = mel_spectrogram(wav, self.cfg.mel)
+        return self.hifigan.apply(params["hifigan"], mel)
+
+    # ------------------------------------------------------------------
+    # jit entry points
+    # ------------------------------------------------------------------
+
+    def jit_explain(self, decoder: str = "unet",
+                    masking: MaskingConvention | None = None):
+        return jax.jit(
+            lambda params, wav: self.explain(params, wav, decoder, masking)
+        )
+
+    def jit_classify(self):
+        return jax.jit(self.classify)
