@@ -1,0 +1,9 @@
+from xai_audio_deepfakes_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from xai_audio_deepfakes_tpu.parallel.sharding import (
+    embedder_param_specs,
+    shard_params,
+)

@@ -1,0 +1,54 @@
+"""Parameter sharding rules (GSPMD partition specs by param path).
+
+Tensor-parallel layout for the wav2vec2 embedder — the standard Megatron
+split expressed as jax.sharding specs (XLA inserts the all-reduces):
+
+  * attention q/k/v kernels [H, H]:   split output (head) dim over 'model'
+  * attention out_proj kernel [H, H]: split input dim  over 'model'
+  * ffn_in kernel [H, 4H]:            split output dim over 'model'
+  * ffn_out kernel [4H, H]:           split input dim  over 'model'
+  * biases of row-split layers:       split over 'model'; out-proj/ffn_out
+                                      biases replicated
+  * everything else (LN, convs, projections): replicated
+
+With model_parallel=1 every spec degenerates to replicated and the mesh is
+pure data-parallel — exactly the reference's DDP semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from xai_audio_deepfakes_tpu.config import MeshConfig
+
+
+def _spec_for_path(path: tuple, axis: str) -> P:
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    if "q_proj" in joined or "k_proj" in joined or "v_proj" in joined or "ffn_in" in joined:
+        if joined.endswith("kernel"):
+            return P(None, axis)
+        if joined.endswith("bias"):
+            return P(axis)
+    if "out_proj" in joined or "ffn_out" in joined:
+        if joined.endswith("kernel"):
+            return P(axis, None)
+        return P()
+    return P()
+
+
+def embedder_param_specs(params: dict, cfg: MeshConfig = MeshConfig()):
+    """Pytree of PartitionSpec matching an encoder param tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _spec_for_path(path, cfg.model_axis), params
+    )
+
+
+def shard_params(params: dict, mesh: Mesh, specs=None) -> dict:
+    """Place a param tree on the mesh (replicated unless a spec says otherwise)."""
+    if specs is None:
+        specs = jax.tree.map(lambda _: P(), params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

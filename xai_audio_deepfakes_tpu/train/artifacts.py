@@ -1,0 +1,69 @@
+"""Visual debugging artifacts: mask / spectrogram PNGs.
+
+Reproduces the reference's matplotlib dumps (`train_addvisor.py:28-57`
+plot_mask, `streamlit_controlled_study.py:45-117` plot_spectrogram/plot_mask,
+`captum_saliency.py:33-65`): viridis, origin lower, time-frequency extent,
+masks on a fixed [0,1] scale, spectrograms as log1p."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _extent(num_frames: int, sr: int, hop_length: int):
+    return [0, num_frames * hop_length / sr, 0, sr / 2]
+
+
+def save_mask_png(
+    mask: np.ndarray, path: str, title: str = "Mask",
+    sr: int = 16000, hop_length: int = 322,
+) -> str:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    mask = np.asarray(mask)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    im = ax.imshow(
+        mask, aspect="auto", origin="lower",
+        extent=_extent(mask.shape[1], sr, hop_length),
+        vmin=0, vmax=1, cmap="viridis",
+    )
+    ax.set_title(title, fontsize=10)
+    ax.set_ylabel("freq Hz")
+    ax.set_xlabel("time s")
+    fig.colorbar(im, ax=ax, label="Mask Value")
+    fig.savefig(path, format="png", bbox_inches="tight", dpi=100)
+    plt.close(fig)
+    return path
+
+
+def save_spectrogram_png(
+    spec: np.ndarray, path: str, title: str = "Spectrogram",
+    sr: int = 16000, hop_length: int = 322, log1p: bool = True,
+) -> str:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    spec = np.asarray(spec)
+    if log1p:
+        spec = np.log1p(np.maximum(spec, 0))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig, ax = plt.subplots()
+    im = ax.imshow(
+        spec, aspect="auto", origin="lower",
+        extent=_extent(spec.shape[1], sr, hop_length), cmap="viridis",
+    )
+    ax.set_title(title)
+    ax.set_ylabel("freq (Hz)")
+    ax.set_xlabel("time (s)")
+    fig.colorbar(im, ax=ax, label="dB")
+    fig.savefig(path, format="png", bbox_inches="tight", dpi=100)
+    plt.close(fig)
+    return path
