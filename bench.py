@@ -1,0 +1,78 @@
+"""Benchmark: end-to-end explanation throughput on one chip.
+
+Measures the flagship path — wav [B,80000] -> STFT -> SSL embed (full-size
+truncated XLS-R geometry, bf16) -> detector -> UNet mask -> masked iSTFT ->
+relevant/irrelevant waveforms -> re-embed -> detector probs — as one jitted
+XLA program, steady-state.
+
+Prints ONE JSON line:
+  {"metric": "explanations/sec/chip", "value": N, "unit": "clips/s",
+   "vs_baseline": RTF / 50}
+where RTF = (clips/s * 5 s-audio-per-clip); the baseline target is the
+north-star >50x realtime per chip (BASELINE.md — the reference publishes no
+numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from xai_audio_deepfakes_tpu.config import EmbedderConfig, PipelineConfig
+    from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+
+    cfg = PipelineConfig(embedder=EmbedderConfig(dtype="bfloat16"))
+    pipe = ADDvisorPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+
+    batch = 8
+    clip_seconds = cfg.audio.clip_seconds
+    wav = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal((batch, cfg.audio.num_samples))
+        .astype(np.float32)
+        * 0.1
+    )
+
+    explain = pipe.jit_explain(decoder="unet")
+
+    # warmup / compile. NOTE: on the tunneled single-chip platform here,
+    # jax.block_until_ready returns before execution finishes; a
+    # device-to-host copy of an existing output buffer is the reliable
+    # barrier (the device stream executes in-order, so transferring the last
+    # call's output waits for all queued work).
+    out = explain(params, wav)
+    _ = np.asarray(out.probs_relevant)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = explain(params, wav)
+    _ = np.asarray(out.probs_relevant)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch * iters / dt
+    rtf = clips_per_sec * clip_seconds
+    print(
+        json.dumps(
+            {
+                "metric": "explanations/sec/chip",
+                "value": round(clips_per_sec, 3),
+                "unit": "clips/s",
+                "vs_baseline": round(rtf / 50.0, 3),
+                "rtf": round(rtf, 1),
+                "batch": batch,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
