@@ -1,0 +1,115 @@
+"""Eval harnesses, detector trainer, CLI explain end-to-end, gallery builder."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_pipeline import tiny_config
+from xai_audio_deepfakes_tpu.metrics.harness import (
+    run_attribution_metrics,
+    run_explanation_metrics,
+)
+from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+from xai_audio_deepfakes_tpu.train.train_logreg import train_detector
+
+
+@pytest.fixture(scope="module")
+def setup():
+    pipe = ADDvisorPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    batches = [
+        rng.standard_normal((2, pipe.cfg.audio.num_samples)).astype(np.float32) * 0.1
+        for _ in range(2)
+    ]
+    return pipe, params, batches
+
+
+def test_run_explanation_metrics(setup):
+    pipe, params, batches = setup
+    result = run_explanation_metrics(pipe, params, batches, decoder="unet")
+    assert result["num_clips"] == 4
+    for k in ("faithfulness", "fidelity", "average_drop", "average_increase", "average_gain"):
+        assert np.isfinite(result[k])
+    assert 0 <= result["fidelity"] <= 1
+
+
+def test_run_attribution_metrics(setup):
+    pipe, params, batches = setup
+    result = run_attribution_metrics(
+        pipe, params, batches, method="input_x_gradient"
+    )
+    assert result["num_clips"] == 4
+    assert 0 <= result["relevant_classified_manipulated"] <= 4
+    assert np.isfinite(result["faithfulness"])
+
+
+def test_train_detector_separable(rng):
+    """LogReg trainer reaches ~perfect accuracy / ~0 EER on separable data and
+    matches sklearn within tolerance on the same split."""
+    n, d = 400, 8
+    w = rng.standard_normal(d)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    y = (x @ w > 0).astype(np.int64)
+    params, metrics = train_detector(x, y, c=1e6)
+    assert metrics["accuracy"] > 0.97
+    assert metrics["eer"] < 0.05
+
+    from sklearn.linear_model import LogisticRegression
+
+    clf = LogisticRegression(C=1e6, max_iter=10000).fit(x, y)
+    w_ours = np.asarray(params["weight"])[:, 0]
+    w_sk = clf.coef_[0]
+    cos = np.dot(w_ours, w_sk) / (np.linalg.norm(w_ours) * np.linalg.norm(w_sk))
+    assert cos > 0.999, cos
+
+
+def test_gallery_builder(tmp_path):
+    from xai_audio_deepfakes_tpu.serve.viewer import build_gallery
+
+    results = [
+        {
+            "source": f"clip{i}.wav",
+            "original_audio": "a.wav",
+            "reconstructed_audio": "b.wav",
+            "pred_original": 0.3 if i % 2 else 0.8,
+            "pred_reconstructed_mask": 0.4,
+            "pred_reconstructed_1mask": 0.6,
+        }
+        for i in range(4)
+    ]
+    index = build_gallery(results, str(tmp_path))
+    assert os.path.exists(index)
+    content = open(index).read()
+    assert "audio controls" in content
+    assert os.path.exists(tmp_path / "results.json")
+
+
+@pytest.mark.slow
+def test_cli_explain_smoke(tmp_path, rng):
+    """`cli explain` end-to-end on a synthetic wav with the FULL-size model
+    random-init — exercises artifact + gallery emission. Slow (CPU full-size
+    embedder), marked for the nightly lane."""
+    from xai_audio_deepfakes_tpu.data.io import write_wav
+
+    wav_path = str(tmp_path / "in.wav")
+    write_wav(wav_path, rng.uniform(-0.3, 0.3, 80000).astype(np.float32), 16000)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "xai_audio_deepfakes_tpu.cli", "explain",
+            "--wav", wav_path, "--out", str(tmp_path / "art"), "--dtype", "float32",
+        ],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["explained"] == 1
+    assert os.path.exists(tmp_path / "art" / "index.html")
+    assert os.path.exists(tmp_path / "art" / "in_explanation.wav")

@@ -1,0 +1,314 @@
+"""Command-line entry points.
+
+The reference's six apps are module-level scripts with hardcoded paths and no
+flags (`train_addvisor.py`, `LMAC_metrics.py`, `captum_saliency.py`,
+`streamlit_controlled_study.py`, `train_logReg_swapping.py`, `hifigan.py`).
+Here each becomes a subcommand over the one config tree:
+
+  python -m xai_audio_deepfakes_tpu.cli explain  --wav a.wav b.wav --out dir
+  python -m xai_audio_deepfakes_tpu.cli train    --metadata m.txt --root d
+  python -m xai_audio_deepfakes_tpu.cli eval     --metadata m.txt --root d
+  python -m xai_audio_deepfakes_tpu.cli attrib   --metadata m.txt --method ig
+  python -m xai_audio_deepfakes_tpu.cli datagen  --metadata m.txt ...
+  python -m xai_audio_deepfakes_tpu.cli train-detector --features X.npz
+  python -m xai_audio_deepfakes_tpu.cli serve    --artifacts dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build_pipeline(args):
+    import jax
+
+    from xai_audio_deepfakes_tpu.config import EmbedderConfig, PipelineConfig
+    from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+
+    cfg = PipelineConfig(
+        embedder=EmbedderConfig(dtype=args.dtype),
+    )
+    pipe = ADDvisorPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(args.seed))
+    if args.embedder_dir:
+        from xai_audio_deepfakes_tpu.models.wav2vec2 import params_from_hf_dir
+
+        params["encoder"] = params_from_hf_dir(args.embedder_dir, cfg.embedder)
+    if args.logreg_joblib:
+        from xai_audio_deepfakes_tpu.models.logreg import logreg_params_from_joblib
+
+        params["logreg"] = logreg_params_from_joblib(args.logreg_joblib)
+    if args.checkpoint:
+        from xai_audio_deepfakes_tpu.train.checkpoints import restore_checkpoint
+
+        params["unet"] = restore_checkpoint(args.checkpoint, params["unet"])
+    return pipe, params
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--embedder-dir", default="", help="local HF checkpoint dir")
+    p.add_argument("--logreg-joblib", default="", help="sklearn joblib checkpoint")
+    p.add_argument("--checkpoint", default="", help="orbax UNet checkpoint dir")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--out", default="artifacts")
+
+
+def _batches(args, paths):
+    from xai_audio_deepfakes_tpu.data.datasets import AudioBatcher
+
+    return AudioBatcher(
+        paths, batch_size=args.batch_size, root=args.root, shuffle=False,
+        drop_remainder=False,
+    )
+
+
+def cmd_explain(args):
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.config import MaskingConvention
+    from xai_audio_deepfakes_tpu.data.io import load_audio, write_wav
+    from xai_audio_deepfakes_tpu.serve.viewer import build_gallery
+    from xai_audio_deepfakes_tpu.train.artifacts import (
+        save_mask_png,
+        save_spectrogram_png,
+    )
+
+    pipe, params = _build_pipeline(args)
+    explain = pipe.jit_explain(
+        decoder=args.decoder, masking=MaskingConvention(args.masking)
+    )
+    os.makedirs(args.out, exist_ok=True)
+    results = []
+    wavs = [load_audio(p)[0] for p in args.wav]
+    for path, wav in zip(args.wav, wavs):
+        out = explain(params, jnp.asarray(wav[None]))
+        stem = os.path.splitext(os.path.basename(path))[0]
+        write_wav(os.path.join(args.out, f"{stem}_original.wav"), wav)
+        write_wav(
+            os.path.join(args.out, f"{stem}_explanation.wav"),
+            np.asarray(out.relevant_wav[0]),
+        )
+        mag = np.asarray(out.magnitude[0])
+        mask = np.asarray(out.mask[0])
+        save_spectrogram_png(mag, os.path.join(args.out, f"{stem}_spec.png"))
+        save_mask_png(mask, os.path.join(args.out, f"{stem}_mask.png"))
+        save_mask_png(1 - mask, os.path.join(args.out, f"{stem}_mask_compl.png"))
+        save_spectrogram_png(
+            mask * np.log1p(mag), os.path.join(args.out, f"{stem}_spec_masked.png"),
+            log1p=False,
+        )
+        save_spectrogram_png(
+            (1 - mask) * np.log1p(mag),
+            os.path.join(args.out, f"{stem}_spec_masked_compl.png"), log1p=False,
+        )
+        results.append(
+            {
+                "source": path,
+                "original_audio": f"{stem}_original.wav",
+                "reconstructed_audio": f"{stem}_explanation.wav",
+                "spectrogram_img": f"{stem}_spec.png",
+                "mask_img": f"{stem}_mask.png",
+                "mask_compl_img": f"{stem}_mask_compl.png",
+                "masked_spectrogram_img": f"{stem}_spec_masked.png",
+                "compl_masked_spectrogram_img": f"{stem}_spec_masked_compl.png",
+                "pred_original": float(out.probs_clean[0, 0]),
+                "pred_reconstructed_mask": float(out.probs_relevant[0, 0]),
+                "pred_reconstructed_1mask": float(out.probs_irrelevant[0, 0]),
+            }
+        )
+    index = build_gallery(results, args.out)
+    print(json.dumps({"explained": len(results), "gallery": index}))
+
+
+def cmd_train(args):
+    from xai_audio_deepfakes_tpu.data.datasets import extract_wavs
+    from xai_audio_deepfakes_tpu.train.artifacts import save_mask_png
+    from xai_audio_deepfakes_tpu.train.checkpoints import save_checkpoint
+    from xai_audio_deepfakes_tpu.train.train_addvisor import train_addvisor
+    from xai_audio_deepfakes_tpu.utils.logging import JSONLLogger
+
+    pipe, params = _build_pipeline(args)
+    paths = extract_wavs(args.metadata)
+    if args.limit:
+        paths = paths[: args.limit]
+    logger = JSONLLogger(os.path.join(args.out, "train_log.jsonl"))
+
+    def artifact_fn(epoch, mask, aux):
+        save_mask_png(
+            np.asarray(mask),
+            os.path.join(args.out, f"{epoch + 1}_explanation.png"),
+            title=(
+                f"L_in = {float(aux['l_in']):.6f}, L_out = {float(aux['l_out']):.6f}, "
+                f"L1 = {float(aux['l1']):.6f}"
+            ),
+        )
+
+    def checkpoint_fn(epoch, state, loss):
+        save_checkpoint(os.path.join(args.out, "ckpts"), epoch, loss, state)
+
+    state = train_addvisor(
+        pipe, params,
+        batches=lambda: iter(_batches(args, paths)),
+        num_epochs=args.epochs,
+        log_fn=logger,
+        artifact_fn=artifact_fn,
+        checkpoint_fn=checkpoint_fn,
+    )
+    print(json.dumps({"trained_steps": int(state.step)}))
+
+
+def cmd_eval(args):
+    from xai_audio_deepfakes_tpu.config import MaskingConvention
+    from xai_audio_deepfakes_tpu.data.datasets import extract_wavs
+    from xai_audio_deepfakes_tpu.metrics.harness import run_explanation_metrics
+
+    pipe, params = _build_pipeline(args)
+    paths = extract_wavs(args.metadata)
+    if args.limit:
+        paths = paths[: args.limit]
+    result = run_explanation_metrics(
+        pipe, params, _batches(args, paths),
+        decoder=args.decoder, masking=MaskingConvention(args.masking),
+    )
+    print(json.dumps(result))
+
+
+def cmd_attrib(args):
+    from xai_audio_deepfakes_tpu.data.datasets import extract_wavs
+    from xai_audio_deepfakes_tpu.metrics.harness import run_attribution_metrics
+
+    pipe, params = _build_pipeline(args)
+    paths = extract_wavs(args.metadata)
+    if args.limit:
+        paths = paths[: args.limit]
+    result = run_attribution_metrics(
+        pipe, params, _batches(args, paths), method=args.method
+    )
+    print(json.dumps(result))
+
+
+def cmd_datagen(args):
+    """Band-splice dataset generation (`train_logReg_swapping.py:29-102`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.data.bandswap import generate_band_swap_features
+    from xai_audio_deepfakes_tpu.data.datasets import extract_wavs
+    from xai_audio_deepfakes_tpu.data.io import load_audio
+    from xai_audio_deepfakes_tpu.utils.logging import JSONLLogger
+
+    pipe, params = _build_pipeline(args)
+    paths = extract_wavs(args.metadata)
+    if args.limit:
+        paths = paths[: args.limit]
+    logger = JSONLLogger(None)
+
+    @jax.jit
+    def embed_fn(wavs):
+        return jnp.mean(pipe.features(params, wavs), axis=1)
+
+    def pairs():
+        for p in paths:
+            real = load_audio(os.path.join(args.root, p))[0]
+            voc_path = os.path.join(args.vocoded_root, p + "_vocoded.wav")
+            if not os.path.exists(voc_path):
+                voc_path = os.path.join(args.vocoded_root, p)
+            if not os.path.exists(voc_path):
+                continue
+            yield real, load_audio(voc_path)[0]
+
+    x, y = generate_band_swap_features(pairs(), embed_fn, log_fn=logger)
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(os.path.join(args.out, "band_swap_features.npz"), X=x, y=y)
+    print(json.dumps({"X_shape": list(x.shape), "labels": int(y.sum())}))
+
+
+def cmd_train_detector(args):
+    from xai_audio_deepfakes_tpu.models.logreg import logreg_params_save
+    from xai_audio_deepfakes_tpu.train.train_logreg import train_detector
+
+    z = np.load(args.features)
+    params, metrics = train_detector(z["X"], z["y"], c=args.c)
+    os.makedirs(args.out, exist_ok=True)
+    logreg_params_save(params, os.path.join(args.out, "logreg_vocoded_anyband.npz"))
+    print(json.dumps(metrics))
+
+
+def cmd_serve(args):
+    from xai_audio_deepfakes_tpu.serve.viewer import serve_gallery
+
+    serve_gallery(args.artifacts, port=args.port)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="xai_audio_deepfakes_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("explain", help="wav -> mask -> listenable explanation")
+    _common(p)
+    p.add_argument("--wav", nargs="+", required=True)
+    p.add_argument("--decoder", default="unet", choices=["unet", "features"])
+    p.add_argument("--masking", default="log1p", choices=["linear", "log1p"])
+    p.set_defaults(fn=cmd_explain)
+
+    p = sub.add_parser("train", help="train the mask decoder")
+    _common(p)
+    p.add_argument("--metadata", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="faithfulness metric sweep")
+    _common(p)
+    p.add_argument("--metadata", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--decoder", default="unet", choices=["unet", "features"])
+    p.add_argument("--masking", default="log1p", choices=["linear", "log1p"])
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("attrib", help="gradient-attribution metric sweep")
+    _common(p)
+    p.add_argument("--metadata", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument(
+        "--method", default="input_x_gradient",
+        choices=["saliency", "input_x_gradient", "integrated_gradients",
+                 "smoothgrad", "gradient_shap"],
+    )
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_attrib)
+
+    p = sub.add_parser("datagen", help="band-splice detector training data")
+    _common(p)
+    p.add_argument("--metadata", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--vocoded-root", required=True)
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_datagen)
+
+    p = sub.add_parser("train-detector", help="fit the LogReg detector head")
+    p.add_argument("--features", required=True, help="npz with X, y")
+    p.add_argument("--c", type=float, default=1e6)
+    p.add_argument("--out", default="artifacts")
+    p.set_defaults(fn=cmd_train_detector)
+
+    p = sub.add_parser("serve", help="host the listening-study gallery")
+    p.add_argument("--artifacts", required=True)
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Audio IO: the host-side input pipeline.
+
+`load_audio` mirrors `audioprocessor.load_audio` (`audioprocessor.py:49-63`):
+read -> mono (first channel) -> resample to 16 kHz if needed -> right-zero-
+pad or crop to exactly 5 s. Decoding is scipy/stdlib (no torchaudio), with an
+optional C++ fast path (`native/`, loaded via ctypes) for PCM16 decode +
+polyphase resample on large dataset sweeps.
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+
+import numpy as np
+
+from xai_audio_deepfakes_tpu.ops.resample import resample_poly_np
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """-> (float32 waveform in [-1, 1], sample_rate). Multi-channel stays
+    [C, L]; mono is [L]."""
+    from xai_audio_deepfakes_tpu.data import native_io
+
+    fast = native_io.read_wav_native(path)
+    if fast is not None:
+        return fast
+    try:
+        import scipy.io.wavfile as wavfile
+
+        sr, data = wavfile.read(path)
+        if data.dtype == np.int16:
+            out = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            out = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            out = (data.astype(np.float32) - 128.0) / 128.0
+        else:
+            out = data.astype(np.float32)
+        if out.ndim == 2:
+            out = out.T  # [C, L]
+        return out, int(sr)
+    except Exception:
+        with wave.open(path, "rb") as f:
+            sr = f.getframerate()
+            n = f.getnframes()
+            raw = f.readframes(n)
+            width = f.getsampwidth()
+            ch = f.getnchannels()
+        if width == 2:
+            data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:
+            data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        if ch > 1:
+            data = data.reshape(-1, ch).T
+        return data, sr
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
+    import scipy.io.wavfile as wavfile
+
+    wav = np.asarray(wav, dtype=np.float32)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    wavfile.write(path, sample_rate, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+
+
+def load_audio(
+    path: str, target_sr: int = 16000, clip_seconds: float = 5.0
+) -> tuple[np.ndarray, int]:
+    """Reference `load_audio` contract: mono (first channel), resampled,
+    exactly clip_seconds * target_sr samples (right-zero-pad / head-crop)."""
+    wav, sr = read_wav(path)
+    if wav.ndim > 1:
+        wav = wav[0]
+    if sr != target_sr:
+        wav = resample_poly_np(wav, sr, target_sr)
+    n = int(round(clip_seconds * target_sr))
+    if wav.shape[0] < n:
+        wav = np.pad(wav, (0, n - wav.shape[0]))
+    else:
+        wav = wav[:n]
+    return wav.astype(np.float32), target_sr

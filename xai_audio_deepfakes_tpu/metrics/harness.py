@@ -1,0 +1,103 @@
+"""Batched evaluation harnesses.
+
+  * run_explanation_metrics — the `run_addvisor_metrics` sweep
+    (`LMAC_metrics.py:117-172`): per batch, clean probs, decoder mask,
+    log1p/expm1 masking, iSTFT, re-embed, probs; aggregate faithfulness /
+    fidelity / AD / AI / AG.
+  * run_attribution_metrics — the Captum baseline sweep
+    (`captum_saliency.py:112-212`): waveform-domain attribution mask,
+    relevant/irrelevant waveforms, re-embed, probs; faithfulness + fidelity +
+    manipulated-count. The reference's counting bug (iterating the last
+    batch's `probs_rel` instead of the accumulated scores,
+    `captum_saliency.py:204-210`) is fixed: counting covers ALL files.
+
+Both harnesses run one jitted program per batch and accumulate on host;
+across a mesh the batch axis shards over 'data' so the sweep scales with
+chips (config 5 of BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xai_audio_deepfakes_tpu.attrib.methods import waveform_explanation
+from xai_audio_deepfakes_tpu.config import MaskingConvention
+from xai_audio_deepfakes_tpu.metrics.lmac_metrics import (
+    compute_faithfulness,
+    compute_fidelity,
+    summarize,
+)
+from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+
+
+def run_explanation_metrics(
+    pipe: ADDvisorPipeline,
+    params: dict,
+    batches: Iterable[np.ndarray],
+    decoder: str = "unet",
+    masking: MaskingConvention = MaskingConvention.LOG1P,
+    log_fn: Callable[[dict], None] | None = None,
+) -> dict:
+    explain = pipe.jit_explain(decoder=decoder, masking=masking)
+    clean, rel, irr = [], [], []
+    for wav in batches:
+        out = explain(params, jnp.asarray(wav))
+        clean.append(np.asarray(out.probs_clean))
+        rel.append(np.asarray(out.probs_relevant))
+        irr.append(np.asarray(out.probs_irrelevant))
+    clean_a = jnp.asarray(np.concatenate(clean))
+    rel_a = jnp.asarray(np.concatenate(rel))
+    irr_a = jnp.asarray(np.concatenate(irr))
+    result = {k: float(v) for k, v in summarize(clean_a, rel_a, irr_a).items()}
+    result["num_clips"] = int(clean_a.shape[0])
+    if log_fn is not None:
+        log_fn({"explanation_metrics": result})
+    return result
+
+
+def run_attribution_metrics(
+    pipe: ADDvisorPipeline,
+    params: dict,
+    batches: Iterable[np.ndarray],
+    method: str = "input_x_gradient",
+    log_fn: Callable[[dict], None] | None = None,
+    **method_kw,
+) -> dict:
+    def score_fn(wav):
+        logits, _ = pipe.classify(params, wav)
+        return logits
+
+    @jax.jit
+    def step(wav):
+        mask, rel_wav, irr_wav = waveform_explanation(
+            score_fn, wav, method=method, **method_kw
+        )
+        _, p_clean = pipe.classify(params, wav)
+        _, p_rel = pipe.classify(params, rel_wav)
+        _, p_irr = pipe.classify(params, irr_wav)
+        return p_clean, p_rel, p_irr
+
+    clean, rel, irr = [], [], []
+    for wav in batches:
+        p_clean, p_rel, p_irr = step(jnp.asarray(wav))
+        clean.append(np.asarray(p_clean))
+        rel.append(np.asarray(p_rel))
+        irr.append(np.asarray(p_irr))
+    clean_a = jnp.asarray(np.concatenate(clean))
+    rel_a = jnp.asarray(np.concatenate(rel))
+    irr_a = jnp.asarray(np.concatenate(irr))
+    result = {
+        "method": method,
+        "faithfulness": float(jnp.mean(compute_faithfulness(clean_a, irr_a))),
+        "fidelity": float(jnp.mean(compute_fidelity(rel_a, clean_a))),
+        # fixed vs `captum_saliency.py:204-210`: count over ALL files
+        "relevant_classified_manipulated": int(np.sum(np.asarray(rel_a)[:, 0] >= 0.5)),
+        "num_clips": int(clean_a.shape[0]),
+    }
+    if log_fn is not None:
+        log_fn({"attribution_metrics": result})
+    return result

@@ -1,0 +1,125 @@
+"""Listening-study gallery — the serving surface replacing
+`streamlit_controlled_study.py`.
+
+The reference runs a Streamlit app (plus a pyngrok tunnel) that re-computes
+the whole pipeline inside the web process. Here serving is split the
+production way: the TPU pipeline emits artifacts once (wavs + PNGs + a
+predictions JSON), and `build_gallery` renders a static HTML page over them —
+original vs reconstructed audio players, the five spectrogram/mask images,
+and the three prediction numbers per item, paginated fakes-first exactly like
+the reference UI (`streamlit...py:234-314`). `serve_gallery` hosts the
+directory with the stdlib http server (no streamlit, no tunnel).
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import os
+
+import numpy as np
+
+
+def _item_html(item: dict) -> str:
+    imgs = "".join(
+        f'<figure><img src="{html.escape(item[k])}" loading="lazy">'
+        f"<figcaption>{cap}</figcaption></figure>"
+        for k, cap in (
+            ("spectrogram_img", "Spectrogram"),
+            ("mask_img", "Mask"),
+            ("masked_spectrogram_img", "Spectrogram x Mask"),
+            ("mask_compl_img", "1 - Mask"),
+            ("compl_masked_spectrogram_img", "Spectrogram x (1 - Mask)"),
+        )
+        if k in item
+    )
+    return f"""
+<section class="item">
+  <h3>{html.escape(item["source"])}</h3>
+  <div class="audio-row">
+    <div><b>Original audio</b><br><audio controls src="{html.escape(item["original_audio"])}"></audio></div>
+    <div><b>Reconstructed audio</b><br><audio controls src="{html.escape(item["reconstructed_audio"])}"></audio></div>
+  </div>
+  <div class="img-row">{imgs}</div>
+  <p><b>Predictions</b> (0 = manipulated under the detector's training
+     polarity; see config.LabelPolarity) —
+     original: {item["pred_original"]:.4f},
+     reconstructed: {item["pred_reconstructed_mask"]:.4f},
+     1-mask: {item["pred_reconstructed_1mask"]:.4f}</p>
+</section>
+"""
+
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>ADDvisor listening study</title>
+<style>
+body {{ font-family: sans-serif; margin: 2rem; }}
+.item {{ border-bottom: 1px solid #ccc; padding: 1rem 0; }}
+.audio-row {{ display: flex; gap: 2rem; }}
+.img-row {{ display: flex; gap: .5rem; flex-wrap: wrap; }}
+.img-row img {{ max-width: 240px; }}
+nav a {{ margin-right: 1rem; }}
+</style></head>
+<body>
+<h1>quality visualisation</h1>
+<p>detector polarity: {polarity}</p>
+<nav>{nav}</nav>
+{items}
+</body></html>
+"""
+
+
+def build_gallery(
+    results: list[dict],
+    out_dir: str,
+    items_per_page: int = 8,
+    polarity: str = "manipulated_is_one",
+) -> str:
+    """results: list of dicts with artifact-relative paths and predictions
+    (see `pipeline_to_artifacts` in cli). Writes index.html + page_*.html,
+    fakes first then reals (reference pagination, `streamlit...py:246-258`).
+    Returns the index path."""
+    os.makedirs(out_dir, exist_ok=True)
+    fakes = [r for r in results if r["pred_original"] < 0.5]
+    reals = [r for r in results if r["pred_original"] >= 0.5]
+    pages: list[tuple[str, list]] = []
+    for label, group in (("fake", fakes), ("real", reals)):
+        for i in range(0, max(len(group), 1), items_per_page):
+            chunk = group[i : i + items_per_page]
+            if chunk:
+                pages.append((f"{label} page {len(pages) + 1}", chunk))
+    if not pages:
+        pages = [("empty", [])]
+    nav = "".join(
+        f'<a href="page_{i}.html">{html.escape(name)}</a>' for i, (name, _) in enumerate(pages)
+    )
+    index_path = os.path.join(out_dir, "index.html")
+    for i, (name, chunk) in enumerate(pages):
+        body = _PAGE.format(
+            nav=nav, items="".join(_item_html(it) for it in chunk), polarity=polarity
+        )
+        with open(os.path.join(out_dir, f"page_{i}.html"), "w") as f:
+            f.write(body)
+    with open(index_path, "w") as f:
+        f.write(
+            _PAGE.format(
+                nav=nav,
+                items="".join(_item_html(it) for it in pages[0][1]),
+                polarity=polarity,
+            )
+        )
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return index_path
+
+
+def serve_gallery(directory: str, port: int = 8000) -> None:
+    import functools
+    import http.server
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=directory
+    )
+    with http.server.ThreadingHTTPServer(("0.0.0.0", port), handler) as srv:
+        print(f"serving {directory} on http://0.0.0.0:{port}")
+        srv.serve_forever()
