@@ -1,0 +1,241 @@
+"""Pallas TPU kernels for the STFT hot path.
+
+The jnp reference implementation (`ops/stft.py`) frames via gather, which
+XLA materializes as a [B, 249, 1024] intermediate in HBM before the DFT
+matmuls. These kernels fuse framing + windowing + the two DFT matmuls into
+one pass: each grid step DMAs only the overlapping waveform span it needs
+from HBM into VMEM, builds its frame tile in VMEM scratch, and runs the
+[TILE_T, n_fft] @ [n_fft, n_bins] products on the MXU — no frame tensor ever
+touches HBM. The iSTFT kernel is the mirror image: inverse-DFT matmul, then
+windowed overlap-add accumulated in VMEM.
+
+`make_fused_stft` / `make_fused_istft` wrap the kernels in custom_vjp: both
+ops are linear, so the backward pass is their transpose, obtained from the
+jnp oracle's vjp — the LMAC loss differentiates through the fused kernels
+exactly as through the reference ops (`loss_function.py:46-53`).
+
+The jnp path stays the numerical oracle; `tests/test_pallas.py` checks
+equality in interpret mode on CPU and the TPU bench exercises the compiled
+path. Guide: /opt/skills/guides/pallas_guide.md.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xai_audio_deepfakes_tpu.config import STFTConfig
+from xai_audio_deepfakes_tpu.ops.stft import _dft_bases, _idft_bases, _ola_envelope
+from xai_audio_deepfakes_tpu.ops.window import torch_style_window
+
+# frames per grid step: 8 rows is the f32 sublane tile; span per tile =
+# (TILE_T-1)*hop + n_fft stays well under VMEM limits (8 frames -> ~13 KB)
+TILE_T = 8
+
+
+def _make_stft_call(num_frames: int, n_fft: int, hop: int, n_bins: int,
+                    interpret: bool):
+    def kernel(wav_ref, win_ref, cos_ref, sin_ref, re_ref, im_ref):
+        t = pl.program_id(0)
+
+        def body(i, _):
+            start = (t * TILE_T + i) * hop
+            row = wav_ref[pl.ds(start, n_fft)] * win_ref[0, :]
+            rows = row[None, :]
+            re_ref[pl.ds(i, 1), :] = jnp.dot(
+                rows, cos_ref[...], preferred_element_type=jnp.float32
+            )
+            im_ref[pl.ds(i, 1), :] = jnp.dot(
+                rows, sin_ref[...], preferred_element_type=jnp.float32
+            )
+            return 0
+
+        jax.lax.fori_loop(0, TILE_T, body, 0)
+
+    grid_t = num_frames // TILE_T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid_t,),
+        in_specs=[
+            # frames overlap (hop < n_fft), which BlockSpec's block-unit
+            # index maps cannot express — the wav row (81 KB padded, f32)
+            # lives whole in VMEM and each tile takes its span with pl.ds
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_T, n_bins), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, n_bins), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_t * TILE_T, n_bins), jnp.float32),
+            jax.ShapeDtypeStruct((grid_t * TILE_T, n_bins), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def stft_pallas(
+    x: jnp.ndarray, cfg: STFTConfig, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, L] -> (re, im) [B, F, T]; numerically matches ops.stft.stft."""
+    if x.ndim == 1:
+        x = x[None]
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    num_frames = 1 + (x.shape[-1] - n_fft) // hop
+    n_bins = cfg.num_bins
+    # pad frame count up to a TILE_T multiple; surplus frames read past the
+    # signal, so extend the padded signal accordingly (zeros)
+    t_pad = (-num_frames) % TILE_T
+    total_t = num_frames + t_pad
+    need = (total_t - 1) * hop + n_fft
+    if need > x.shape[-1]:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
+
+    cos_b, sin_b = _dft_bases(n_fft)
+    win = torch_style_window(cfg.window, cfg.win_length, n_fft)[None, :]
+    call = _make_stft_call(total_t, n_fft, hop, n_bins, interpret)
+
+    def one(row):
+        re, im = call(row, jnp.asarray(win), jnp.asarray(cos_b), jnp.asarray(sin_b))
+        return re[:num_frames], im[:num_frames]
+
+    re, im = jax.vmap(one)(x)
+    return re.swapaxes(-1, -2), im.swapaxes(-1, -2)
+
+
+def _make_istft_call(num_frames: int, n_fft: int, hop: int, n_bins: int,
+                     padded_len: int, interpret: bool):
+    def kernel(re_ref, im_ref, win_ref, a_ref, b_ref, out_ref, acc_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        t = pl.program_id(0)
+        # [TILE_T, n_bins] @ [n_bins, n_fft] -> frames tile, then windowed OLA
+        frames = (
+            jnp.dot(re_ref[...], a_ref[...], preferred_element_type=jnp.float32)
+            + jnp.dot(im_ref[...], b_ref[...], preferred_element_type=jnp.float32)
+        ) * win_ref[0, :]
+
+        def body(i, _):
+            start = (t * TILE_T + i) * hop
+            acc_scr[0, pl.ds(start, n_fft)] = (
+                acc_scr[0, pl.ds(start, n_fft)] + frames[i, :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, TILE_T, body, 0)
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            out_ref[...] = acc_scr[...]
+
+    grid_t = num_frames // TILE_T
+    return pl.pallas_call(
+        kernel,
+        grid=(grid_t,),
+        in_specs=[
+            pl.BlockSpec((TILE_T, n_bins), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, n_bins), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, padded_len), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, padded_len), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def istft_pallas(
+    real: jnp.ndarray,
+    imag: jnp.ndarray,
+    cfg: STFTConfig,
+    length: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(re, im) [B, F, T] -> [B, length]; matches ops.stft.istft."""
+    if real.ndim == 2:
+        real, imag = real[None], imag[None]
+    b, f, t = real.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    t_pad = (-t) % TILE_T
+    total_t = t + t_pad
+    re = jnp.pad(real.swapaxes(-1, -2), ((0, 0), (0, t_pad), (0, 0)))
+    im = jnp.pad(imag.swapaxes(-1, -2), ((0, 0), (0, t_pad), (0, 0)))
+    padded_len = n_fft + hop * (total_t - 1)
+
+    a_b, b_b = _idft_bases(n_fft)
+    win = torch_style_window(cfg.window, cfg.win_length, n_fft)[None, :]
+    call = _make_istft_call(total_t, n_fft, hop, cfg.num_bins, padded_len, interpret)
+
+    def one(re_row, im_row):
+        return call(
+            re_row, im_row, jnp.asarray(win), jnp.asarray(a_b), jnp.asarray(b_b)
+        )[0]
+
+    y = jax.vmap(one)(re, im)
+
+    env = jnp.asarray(_ola_envelope(t, n_fft, hop, cfg.window, cfg.win_length))
+    env = jnp.pad(env, (0, padded_len - env.shape[0]), constant_values=1.0)
+    y = y / jnp.where(env > 1e-11, env, 1.0)
+    if cfg.center:
+        y = y[:, n_fft // 2 :]
+    if y.shape[-1] >= length:
+        y = y[:, :length]
+    else:
+        y = jnp.pad(y, ((0, 0), (0, length - y.shape[-1])))
+    return y
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrappers (backward = linear transpose via the jnp oracle)
+# ---------------------------------------------------------------------------
+
+
+def make_fused_stft(cfg: STFTConfig, interpret: bool = False):
+    from xai_audio_deepfakes_tpu.ops.stft import stft as stft_jnp
+
+    @jax.custom_vjp
+    def fused(x):
+        return stft_pallas(x, cfg, interpret=interpret)
+
+    def fwd(x):
+        return fused(x), x.shape
+
+    def bwd(shape, ct):
+        zero = jnp.zeros(shape, jnp.float32)
+        _, vjp = jax.vjp(lambda x: stft_jnp(x, cfg), zero)
+        return vjp(ct)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def make_fused_istft(cfg: STFTConfig, length: int, interpret: bool = False):
+    from xai_audio_deepfakes_tpu.ops.stft import istft as istft_jnp
+
+    @jax.custom_vjp
+    def fused(real, imag):
+        return istft_pallas(real, imag, cfg, length=length, interpret=interpret)
+
+    def fwd(real, imag):
+        return fused(real, imag), real.shape
+
+    def bwd(shape, ct):
+        zero = jnp.zeros(shape, jnp.float32)
+        _, vjp = jax.vjp(lambda r, i: istft_jnp(r, i, cfg, length=length), zero, zero)
+        return vjp(ct)
+
+    fused.defvjp(fwd, bwd)
+    return fused
