@@ -230,6 +230,41 @@ def cmd_datagen(args):
     print(json.dumps({"X_shape": list(x.shape), "labels": int(y.sum())}))
 
 
+def cmd_vocode_datagen(args):
+    """Vocoded band-spliced dataset generation (`hifigan.py:91-230`)."""
+    import jax
+
+    from xai_audio_deepfakes_tpu.data.datasets import extract_wavs
+    from xai_audio_deepfakes_tpu.data.vocoded import (
+        generate_vocoded_dataset,
+        make_vocoder_fn,
+    )
+    from xai_audio_deepfakes_tpu.utils.logging import JSONLLogger
+
+    pipe, params = _build_pipeline(args)
+    if "hifigan" not in params:
+        params["hifigan"] = pipe.hifigan.init(
+            jax.random.PRNGKey(args.seed),
+            np.zeros((1, pipe.cfg.mel.n_mels, 8), np.float32),
+        )
+    if args.hifigan_ckpt:
+        import torch
+
+        from xai_audio_deepfakes_tpu.models.hifigan import params_from_torch_state_dict
+
+        sd = torch.load(args.hifigan_ckpt, map_location="cpu")
+        sd = {k: v.numpy() for k, v in sd.items()}
+        params["hifigan"] = params_from_torch_state_dict(sd, pipe.cfg.hifigan)
+    names = extract_wavs(args.metadata)
+    if args.limit:
+        names = names[: args.limit]
+    n = generate_vocoded_dataset(
+        names, args.root, args.out, make_vocoder_fn(pipe, params),
+        log_fn=JSONLLogger(None),
+    )
+    print(json.dumps({"written": n}))
+
+
 def cmd_train_detector(args):
     from xai_audio_deepfakes_tpu.models.logreg import logreg_params_save
     from xai_audio_deepfakes_tpu.train.train_logreg import train_detector
@@ -294,6 +329,14 @@ def main(argv=None):
     p.add_argument("--vocoded-root", required=True)
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_datagen)
+
+    p = sub.add_parser("vocode-datagen", help="HiFi-GAN vocoded band-splice wavs")
+    _common(p)
+    p.add_argument("--metadata", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--hifigan-ckpt", default="", help="torch generator state dict")
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_vocode_datagen)
 
     p = sub.add_parser("train-detector", help="fit the LogReg detector head")
     p.add_argument("--features", required=True, help="npz with X, y")
