@@ -165,3 +165,18 @@ def test_artifacts_png(tmp_path, rng):
         rng.uniform(size=(64, 24)).astype(np.float32), str(tmp_path / "s.png")
     )
     assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
+
+
+def test_resume_via_initial_state(setup, tmp_path):
+    """Orbax checkpoint -> initial_state resume continues the step counter."""
+    from xai_audio_deepfakes_tpu.train.train_addvisor import train_addvisor
+
+    pipe, params, wav = setup
+    state1 = train_addvisor(pipe, params, batches=lambda: [wav[:2]], num_epochs=1)
+    path = save_checkpoint(str(tmp_path), epoch=1, loss=0.5, state=state1)
+    restored = restore_checkpoint(path, state1)
+    state2 = train_addvisor(
+        pipe, params, batches=lambda: [wav[:2]], num_epochs=1,
+        initial_state=restored,
+    )
+    assert int(state2.step) == 2

@@ -130,7 +130,12 @@ def cmd_explain(args):
 def cmd_train(args):
     from xai_audio_deepfakes_tpu.data.datasets import extract_wavs
     from xai_audio_deepfakes_tpu.train.artifacts import save_mask_png
-    from xai_audio_deepfakes_tpu.train.checkpoints import save_checkpoint
+    from xai_audio_deepfakes_tpu.train.checkpoints import (
+        latest_checkpoint,
+        parse_checkpoint_name,
+        restore_checkpoint,
+        save_checkpoint,
+    )
     from xai_audio_deepfakes_tpu.train.train_addvisor import train_addvisor
     from xai_audio_deepfakes_tpu.utils.logging import JSONLLogger
 
@@ -139,6 +144,20 @@ def cmd_train(args):
     if args.limit:
         paths = paths[: args.limit]
     logger = JSONLLogger(os.path.join(args.out, "train_log.jsonl"))
+
+    resume_state = None
+    if args.resume:
+        ckpt = latest_checkpoint(os.path.join(args.out, "ckpts"))
+        if ckpt is not None:
+            from xai_audio_deepfakes_tpu.train.train_addvisor import (
+                init_train_state,
+                make_optimizers,
+            )
+
+            tx_m, tx_w = make_optimizers(pipe.cfg)
+            template = init_train_state(pipe, params, tx_m, tx_w)
+            resume_state = restore_checkpoint(ckpt, template)
+            logger({"resumed_from": ckpt, "epoch": parse_checkpoint_name(ckpt)[0]})
 
     def artifact_fn(epoch, mask, aux):
         save_mask_png(
@@ -160,6 +179,7 @@ def cmd_train(args):
         log_fn=logger,
         artifact_fn=artifact_fn,
         checkpoint_fn=checkpoint_fn,
+        initial_state=resume_state,
     )
     print(json.dumps({"trained_steps": int(state.step)}))
 
@@ -299,6 +319,8 @@ def main(argv=None):
     p.add_argument("--root", default="")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --out/ckpts")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="faithfulness metric sweep")

@@ -150,13 +150,19 @@ def train_addvisor(
     log_fn: Callable[[dict], None] | None = None,
     artifact_fn: Callable[[int, Any, dict], None] | None = None,
     checkpoint_fn: Callable[[int, AddvisorTrainState, float], None] | None = None,
+    initial_state: AddvisorTrainState | None = None,
 ) -> AddvisorTrainState:
     """Epoch loop (`train_addvisor.py:345-393`). `batches()` yields wav
     arrays [B, 80000] per epoch. Artifacts/checkpoints/logging are injected
-    so the loop stays host-side-effect free otherwise."""
+    so the loop stays host-side-effect free otherwise. Pass `initial_state`
+    (e.g. a restored checkpoint) to resume."""
     cfg = pipe.cfg
     tx_model, tx_w = make_optimizers(cfg)
-    state = init_train_state(pipe, params, tx_model, tx_w)
+    state = (
+        init_train_state(pipe, params, tx_model, tx_w)
+        if initial_state is None
+        else initial_state
+    )
     # the step donates its state buffers; copy so the caller's `params`
     # arrays (shared with state.unet_params at init) survive
     state = jax.tree.map(jnp.copy, state)
