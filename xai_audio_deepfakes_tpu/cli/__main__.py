@@ -80,6 +80,12 @@ def cmd_explain(args):
         save_spectrogram_png,
     )
 
+    # fail fast on bad inputs BEFORE the (expensive) model construction
+    missing = [p for p in args.wav if not os.path.exists(p)]
+    if missing:
+        print(f"error: wav file(s) not found: {', '.join(missing)}", file=sys.stderr)
+        return 2
+
     pipe, params = _build_pipeline(args)
     explain = pipe.jit_explain(
         decoder=args.decoder, masking=MaskingConvention(args.masking)
