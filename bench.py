@@ -24,6 +24,14 @@ import numpy as np
 
 
 def main() -> None:
+    # persistent compile cache: repeated driver runs (and recoveries from the
+    # flaky remote-compile relay) reuse the compiled program
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from xai_audio_deepfakes_tpu.config import EmbedderConfig, PipelineConfig
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 

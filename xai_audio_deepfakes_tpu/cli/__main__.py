@@ -256,6 +256,45 @@ def cmd_datagen(args):
     print(json.dumps({"X_shape": list(x.shape), "labels": int(y.sum())}))
 
 
+def cmd_embed(args):
+    """Batched SSL feature extraction over a corpus (BASELINE config 2):
+    wav folder/metadata -> mean-pooled embeddings npz + per-clip detector
+    scores (the `collate_fn` capability, `train_addvisor.py:247-260`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.data.datasets import extract_wavs
+
+    pipe, params = _build_pipeline(args)
+    paths = extract_wavs(args.metadata)
+    if args.limit:
+        paths = paths[: args.limit]
+
+    @jax.jit
+    def embed(wavs):
+        feats = pipe.features(params, wavs)
+        pooled = jnp.mean(feats, axis=1)
+        logits, probs = pipe.classify_features(params, feats)
+        return pooled, logits, probs
+
+    feats_all, probs_all, names = [], [], []
+    n = 0
+    for wav in _batches(args, paths):
+        pooled, logits, probs = embed(jnp.asarray(wav))
+        feats_all.append(np.asarray(pooled))
+        probs_all.append(np.asarray(probs))
+        names.extend(paths[n : n + wav.shape[0]])
+        n += wav.shape[0]
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(
+        os.path.join(args.out, "embeddings.npz"),
+        features=np.concatenate(feats_all),
+        probs=np.concatenate(probs_all),
+        paths=np.asarray(names),
+    )
+    print(json.dumps({"embedded": n, "dim": int(feats_all[0].shape[1])}))
+
+
 def cmd_vocode_datagen(args):
     """Vocoded band-spliced dataset generation (`hifigan.py:91-230`)."""
     import jax
@@ -357,6 +396,13 @@ def main(argv=None):
     p.add_argument("--vocoded-root", required=True)
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_datagen)
+
+    p = sub.add_parser("embed", help="batched SSL embeddings + detector scores")
+    _common(p)
+    p.add_argument("--metadata", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_embed)
 
     p = sub.add_parser("vocode-datagen", help="HiFi-GAN vocoded band-splice wavs")
     _common(p)

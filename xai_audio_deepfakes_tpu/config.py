@@ -140,6 +140,14 @@ class EmbedderConfig:
     dtype: str = "float32"  # compute dtype; "bfloat16" for TPU serving
 
     @staticmethod
+    def xls_r_2b_full() -> "EmbedderConfig":
+        """Untruncated facebook/wav2vec2-xls-r-2b: 48 layers. With the
+        hidden_states[9] readout the truncated default (9 layers) suffices;
+        this preset serves full-model studies, with remat + bf16 + 2-way TP
+        of the MLP/attention as the memory contingency (SURVEY §5)."""
+        return EmbedderConfig(num_layers=48, remat=True, dtype="bfloat16")
+
+    @staticmethod
     def tiny() -> "EmbedderConfig":
         return EmbedderConfig(
             hidden_size=32,

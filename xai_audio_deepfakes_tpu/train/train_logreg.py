@@ -45,7 +45,7 @@ def fit_logreg(
     x: np.ndarray,
     y: np.ndarray,
     c: float = 1e6,
-    max_iter: int = 200,
+    max_iter: int = 1000,
     tol: float = 1e-7,
 ) -> dict:
     """Full-batch L2-regularized logistic regression via L-BFGS.
