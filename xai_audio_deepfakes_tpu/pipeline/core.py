@@ -170,8 +170,13 @@ class ADDvisorPipeline:
         rel_mag, irr_mag = apply_mask(mask, mag, masking)
         rel_wav = self.istft(*remask_complex(rel_mag, phase))
         irr_wav = self.istft(*remask_complex(irr_mag, phase))
-        _, probs_rel = self.classify(params, rel_wav)
-        _, probs_irr = self.classify(params, irr_wav)
+        # one embedder pass for both masked variants: 2x the batch on the
+        # MXU instead of two half-utilized dispatches
+        b = rel_wav.shape[0]
+        _, probs_both = self.classify(
+            params, jnp.concatenate([rel_wav, irr_wav], axis=0)
+        )
+        probs_rel, probs_irr = probs_both[:b], probs_both[b:]
         return ExplainOutput(
             mask=mask, magnitude=mag, phase=phase,
             relevant_wav=rel_wav, irrelevant_wav=irr_wav,
