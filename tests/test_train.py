@@ -180,3 +180,13 @@ def test_resume_via_initial_state(setup, tmp_path):
         initial_state=restored,
     )
     assert int(state2.step) == 2
+
+
+def test_nan_guard(setup):
+    """Trainer halts with FloatingPointError on divergence (injected NaN)."""
+    from xai_audio_deepfakes_tpu.train.train_addvisor import train_addvisor
+
+    pipe, params, wav = setup
+    bad = wav[:2].at[0, 0].set(jnp.nan)
+    with pytest.raises(FloatingPointError):
+        train_addvisor(pipe, params, batches=lambda: [bad], num_epochs=1)

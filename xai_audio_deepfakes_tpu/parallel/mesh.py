@@ -20,6 +20,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from xai_audio_deepfakes_tpu.config import MeshConfig
 
 
+def initialize_distributed() -> None:
+    """Multi-host bring-up: call once per process before device queries on
+    multi-slice/multi-host TPU pods (reads the standard cluster env vars).
+    Single-host (this environment) is a no-op. The reference's counterpart
+    is `accelerate launch` process spawning (`train_addvisor.py:24`)."""
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+
+
 def make_mesh(
     cfg: MeshConfig = MeshConfig(), devices: list | None = None
 ) -> Mesh:

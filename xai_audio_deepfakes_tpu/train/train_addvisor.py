@@ -26,6 +26,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from xai_audio_deepfakes_tpu.config import PipelineConfig
@@ -188,6 +189,14 @@ def train_addvisor(
             state, aux = jit_step(state, frozen, wav)
             if i == 0 and artifact_fn is not None:
                 artifact_fn(epoch, aux["mask_first"], aux)
+            if not np.isfinite(float(aux["loss"])):
+                # failure detection the reference lacks (SURVEY §5): halt on
+                # divergence instead of training on NaN weights; the caller
+                # resumes from the last checkpoint
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch + 1} step {i}: "
+                    f"{float(aux['loss'])}"
+                )
             total += float(aux["loss"])
             for j, k in enumerate(("l_in", "l_out", "l1")):
                 parts[j] += float(aux[k])
