@@ -35,11 +35,16 @@ def main() -> None:
     from xai_audio_deepfakes_tpu.config import EmbedderConfig, PipelineConfig
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
-    cfg = PipelineConfig(embedder=EmbedderConfig(dtype="bfloat16"))
+    from xai_audio_deepfakes_tpu.config import UNetConfig
+
+    cfg = PipelineConfig(
+        embedder=EmbedderConfig(dtype="bfloat16"),
+        unet=UNetConfig(dtype="bfloat16"),
+    )
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(0))
 
-    batch = 8
+    batch = 32
     clip_seconds = cfg.audio.clip_seconds
     wav = jnp.asarray(
         np.random.default_rng(0)
@@ -58,7 +63,7 @@ def main() -> None:
     out = explain(params, wav)
     _ = np.asarray(out.probs_relevant)
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = explain(params, wav)
