@@ -104,3 +104,20 @@ def test_gradients_flow_to_waveform(rng):
     g = jax.grad(f)(wav)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_params_from_hf_dir_roundtrip(hf_tiny, rng, tmp_path):
+    """save_pretrained -> params_from_hf_dir (safetensors route) produces the
+    same features as the in-memory state-dict import."""
+    from xai_audio_deepfakes_tpu.models.wav2vec2 import params_from_hf_dir
+
+    hf_tiny.save_pretrained(str(tmp_path))
+    params_dir = params_from_hf_dir(str(tmp_path), TINY)
+    params_sd = params_from_hf_state_dict(
+        {k: v.numpy() for k, v in hf_tiny.state_dict().items()}, TINY
+    )
+    wav = rng.standard_normal((1, 4000)).astype(np.float32) * 0.1
+    enc = Wav2Vec2Encoder(TINY)
+    a = enc.apply(params_dir, jnp.asarray(wav))
+    b = enc.apply(params_sd, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
