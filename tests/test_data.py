@@ -122,6 +122,46 @@ def test_audio_batcher(tmp_path, rng):
     batches = list(batcher)
     assert len(batches) == 2  # drop_remainder
     assert all(b.shape == (2, 8000) and b.dtype == np.float32 for b in batches)
+    # threaded decode is order-preserving: same seed + workers=1 -> same data
+    serial = list(
+        AudioBatcher(
+            [f"{i}.wav" for i in range(5)], batch_size=2, root=str(tmp_path),
+            clip_seconds=0.5, shuffle=True, seed=1, num_workers=1,
+        )
+    )
+    for a, b in zip(batches, serial):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_pipeline():
+    from xai_audio_deepfakes_tpu.data.prefetch import (
+        parallel_map,
+        prefetch,
+        prefetch_to_device,
+    )
+
+    items = [np.full((4,), i, np.float32) for i in range(10)]
+    got = list(prefetch(iter(items), size=2))
+    for a, b in zip(got, items):
+        np.testing.assert_array_equal(a, b)
+
+    # device staging preserves order/values and lands on a jax device
+    dev = list(prefetch_to_device(iter(items[:3]), size=2))
+    assert all(hasattr(d, "devices") for d in dev)
+    for a, b in zip(dev, items):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    assert parallel_map(lambda x: x * 2, [1, 2, 3], num_workers=4) == [2, 4, 6]
+
+    # exceptions inside the producer surface at the consumer
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = prefetch(boom(), size=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer died"):
+        list(it)
 
 
 def test_band_masks_partition():

@@ -12,6 +12,7 @@ Here each becomes a subcommand over the one config tree:
   python -m xai_audio_deepfakes_tpu.cli datagen  --metadata m.txt ...
   python -m xai_audio_deepfakes_tpu.cli train-detector --features X.npz
   python -m xai_audio_deepfakes_tpu.cli serve    --artifacts dir
+  python -m xai_audio_deepfakes_tpu.cli serve-api --port 8080
 """
 
 from __future__ import annotations
@@ -178,9 +179,11 @@ def cmd_train(args):
     def checkpoint_fn(epoch, state, loss):
         save_checkpoint(os.path.join(args.out, "ckpts"), epoch, loss, state)
 
+    from xai_audio_deepfakes_tpu.data.prefetch import prefetch_to_device
+
     state = train_addvisor(
         pipe, params,
-        batches=lambda: iter(_batches(args, paths)),
+        batches=lambda: prefetch_to_device(_batches(args, paths), size=2),
         num_epochs=args.epochs,
         log_fn=logger,
         artifact_fn=artifact_fn,
@@ -347,6 +350,20 @@ def cmd_serve(args):
     serve_gallery(args.artifacts, port=args.port)
 
 
+def cmd_serve_api(args):
+    from xai_audio_deepfakes_tpu.serve.api import serve_api
+
+    pipe, params = _build_pipeline(args)
+    serve_api(
+        pipe,
+        params,
+        port=args.port,
+        batch_size=args.batch_size,
+        linger_ms=args.linger_ms,
+        decoder=args.decoder,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="xai_audio_deepfakes_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -422,6 +439,15 @@ def main(argv=None):
     p.add_argument("--artifacts", required=True)
     p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "serve-api", help="live explain API (micro-batched TPU serving)"
+    )
+    _common(p)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--decoder", default="unet", choices=["unet", "features"])
+    p.add_argument("--linger-ms", type=float, default=5.0)
+    p.set_defaults(fn=cmd_serve_api)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -134,6 +134,7 @@ class AudioBatcher:
         shuffle: bool = True,
         seed: int = 0,
         drop_remainder: bool = True,
+        num_workers: int = 8,
     ):
         self.file_paths = list(file_paths)
         self.batch_size = batch_size
@@ -142,6 +143,7 @@ class AudioBatcher:
         self.clip_seconds = clip_seconds
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -155,16 +157,18 @@ class AudioBatcher:
         if self.shuffle:
             self._rng.shuffle(order)
         bs = self.batch_size
+        from xai_audio_deepfakes_tpu.data.prefetch import parallel_map
+
+        def decode(j):
+            return load_audio(
+                os.path.join(self.root, self.file_paths[j]),
+                target_sr=self.sample_rate,
+                clip_seconds=self.clip_seconds,
+            )[0]
+
         for i in range(0, len(order) - (bs - 1 if self.drop_remainder else 0), bs):
             idx = order[i : i + bs]
-            wavs = [
-                load_audio(
-                    os.path.join(self.root, self.file_paths[j]),
-                    target_sr=self.sample_rate,
-                    clip_seconds=self.clip_seconds,
-                )[0]
-                for j in idx
-            ]
+            wavs = parallel_map(decode, list(idx), num_workers=self.num_workers)
             if len(wavs) < bs and self.drop_remainder:
                 return
             yield np.stack(wavs).astype(np.float32)

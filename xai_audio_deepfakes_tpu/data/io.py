@@ -17,6 +17,20 @@ import numpy as np
 from xai_audio_deepfakes_tpu.ops.resample import resample_poly_np
 
 
+def _pcm_to_float(data: np.ndarray) -> np.ndarray:
+    if data.dtype == np.int16:
+        out = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        out = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        out = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        out = data.astype(np.float32)
+    if out.ndim == 2:
+        out = out.T  # [C, L]
+    return out
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """-> (float32 waveform in [-1, 1], sample_rate). Multi-channel stays
     [C, L]; mono is [L]."""
@@ -29,17 +43,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         import scipy.io.wavfile as wavfile
 
         sr, data = wavfile.read(path)
-        if data.dtype == np.int16:
-            out = data.astype(np.float32) / 32768.0
-        elif data.dtype == np.int32:
-            out = data.astype(np.float32) / 2147483648.0
-        elif data.dtype == np.uint8:
-            out = (data.astype(np.float32) - 128.0) / 128.0
-        else:
-            out = data.astype(np.float32)
-        if out.ndim == 2:
-            out = out.T  # [C, L]
-        return out, int(sr)
+        return _pcm_to_float(data), int(sr)
     except Exception:
         with wave.open(path, "rb") as f:
             sr = f.getframerate()
@@ -66,12 +70,9 @@ def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
     wavfile.write(path, sample_rate, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
 
 
-def load_audio(
-    path: str, target_sr: int = 16000, clip_seconds: float = 5.0
-) -> tuple[np.ndarray, int]:
-    """Reference `load_audio` contract: mono (first channel), resampled,
-    exactly clip_seconds * target_sr samples (right-zero-pad / head-crop)."""
-    wav, sr = read_wav(path)
+def _to_clip(
+    wav: np.ndarray, sr: int, target_sr: int, clip_seconds: float
+) -> np.ndarray:
     if wav.ndim > 1:
         wav = wav[0]
     if sr != target_sr:
@@ -81,4 +82,59 @@ def load_audio(
         wav = np.pad(wav, (0, n - wav.shape[0]))
     else:
         wav = wav[:n]
-    return wav.astype(np.float32), target_sr
+    return wav.astype(np.float32)
+
+
+def load_audio(
+    path: str, target_sr: int = 16000, clip_seconds: float = 5.0
+) -> tuple[np.ndarray, int]:
+    """Reference `load_audio` contract: mono (first channel), resampled,
+    exactly clip_seconds * target_sr samples (right-zero-pad / head-crop)."""
+    wav, sr = read_wav(path)
+    return _to_clip(wav, sr, target_sr, clip_seconds), target_sr
+
+
+def decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """In-memory WAV decode (for the live explain API — no temp files)."""
+    import io as _io
+
+    try:
+        import scipy.io.wavfile as wavfile
+
+        sr, arr = wavfile.read(_io.BytesIO(data))
+        return _pcm_to_float(arr), int(sr)
+    except Exception:
+        with wave.open(_io.BytesIO(data), "rb") as f:
+            sr = f.getframerate()
+            raw = f.readframes(f.getnframes())
+            width = f.getsampwidth()
+            ch = f.getnchannels()
+        if width == 2:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:
+            arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        if ch > 1:
+            arr = arr.reshape(-1, ch).T
+        return arr, sr
+
+
+def load_audio_bytes(
+    data: bytes, target_sr: int = 16000, clip_seconds: float = 5.0
+) -> tuple[np.ndarray, int]:
+    """`load_audio` contract over in-memory WAV bytes."""
+    wav, sr = decode_wav_bytes(data)
+    return _to_clip(wav, sr, target_sr, clip_seconds), target_sr
+
+
+def wav_to_bytes(wav: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode a float waveform as 16-bit PCM WAV bytes (API responses)."""
+    import io as _io
+
+    import scipy.io.wavfile as wavfile
+
+    buf = _io.BytesIO()
+    wav = np.asarray(wav, dtype=np.float32)
+    wavfile.write(buf, sample_rate, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+    return buf.getvalue()
