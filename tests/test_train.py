@@ -155,6 +155,36 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     state2, aux = step(restored, frozen, wav)
     assert int(state2.step) == 2
 
+    # async save commits the same bytes after wait_for_saves()
+    from xai_audio_deepfakes_tpu.train.checkpoints import wait_for_saves
+
+    apath = save_checkpoint(
+        str(tmp_path), epoch=2, loss=0.05, state=state, async_save=True
+    )
+    wait_for_saves()
+    assert latest_checkpoint(str(tmp_path)) == apath
+    arestored = restore_checkpoint(apath, state)
+    for x, y in zip(jax.tree.leaves(state), jax.tree.leaves(arestored)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+
+def test_sharded_explain_matches_single_device(setup):
+    """Serving scale-out: dp x tp sharded inference == single-device jit."""
+    from xai_audio_deepfakes_tpu.parallel.inference import make_sharded_explain
+
+    pipe, params, wav = setup
+    mesh_cfg = MeshConfig(model_parallel=2)
+    mesh = make_mesh(mesh_cfg, devices=jax.devices()[:8])
+    fn, sharded = make_sharded_explain(pipe, mesh, params, mesh_cfg=mesh_cfg)
+    out = fn(sharded, np.asarray(wav))
+    ref = pipe.jit_explain()(params, wav)
+    np.testing.assert_allclose(
+        np.asarray(out.probs_clean), np.asarray(ref.probs_clean), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.relevant_wav), np.asarray(ref.relevant_wav), atol=1e-4
+    )
+
 
 def test_artifacts_png(tmp_path, rng):
     from xai_audio_deepfakes_tpu.train.artifacts import save_mask_png, save_spectrogram_png

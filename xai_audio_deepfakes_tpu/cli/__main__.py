@@ -177,7 +177,10 @@ def cmd_train(args):
         )
 
     def checkpoint_fn(epoch, state, loss):
-        save_checkpoint(os.path.join(args.out, "ckpts"), epoch, loss, state)
+        # async: host write overlaps the next epoch's device compute
+        save_checkpoint(
+            os.path.join(args.out, "ckpts"), epoch, loss, state, async_save=True
+        )
 
     from xai_audio_deepfakes_tpu.data.prefetch import prefetch_to_device
 
@@ -190,6 +193,9 @@ def cmd_train(args):
         checkpoint_fn=checkpoint_fn,
         initial_state=resume_state,
     )
+    from xai_audio_deepfakes_tpu.train.checkpoints import wait_for_saves
+
+    wait_for_saves()
     print(json.dumps({"trained_steps": int(state.step)}))
 
 

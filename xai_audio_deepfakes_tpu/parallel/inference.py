@@ -1,0 +1,66 @@
+"""Multi-chip inference: the serving-side sharding layer.
+
+The reference has no distributed inference at all (eval loops are
+single-GPU, `LMAC_metrics.py:117-158`). On TPU, scale-out serving/eval is
+the same GSPMD recipe as training: batch shards over the 'data' mesh axis,
+the 2B embedder optionally tensor-shards over 'model' (Megatron specs from
+`parallel/sharding.py`), and XLA inserts the collectives. One compiled
+program per mesh shape; feed it `batch_sharding`-placed arrays and every
+chip runs its slice.
+
+    mesh = make_mesh(MeshConfig(model_parallel=2))
+    explain, sharded_params = make_sharded_explain(pipe, mesh, params)
+    out = explain(sharded_params, device_put(wav, batch_sharding(mesh)))
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh
+
+from xai_audio_deepfakes_tpu.config import MaskingConvention, MeshConfig
+from xai_audio_deepfakes_tpu.parallel.mesh import batch_sharding
+from xai_audio_deepfakes_tpu.parallel.sharding import (
+    embedder_param_specs,
+    shard_params,
+)
+
+
+def shard_pipeline_params(
+    pipe, params: dict, mesh: Mesh, mesh_cfg: MeshConfig | None = None
+) -> dict:
+    """Place the full pipeline param tree on the mesh: embedder under its
+    tensor-parallel specs, everything else replicated."""
+    mesh_cfg = mesh_cfg or pipe.cfg.mesh
+    out = {}
+    for key, tree in params.items():
+        if key == "encoder":
+            out[key] = shard_params(
+                tree, mesh, embedder_param_specs(tree, mesh_cfg)
+            )
+        else:
+            out[key] = shard_params(tree, mesh)
+    return out
+
+
+def make_sharded_explain(
+    pipe,
+    mesh: Mesh,
+    params: dict,
+    decoder: str = "unet",
+    masking: MaskingConvention | None = None,
+    mesh_cfg: MeshConfig | None = None,
+):
+    """-> (jitted explain fn, mesh-placed params). The batch (leading) axis
+    of `wav` shards over 'data'; per-call batch size must be a multiple of
+    the data-axis size. Input arrays are committed via `in_shardings`, so
+    host numpy batches are accepted directly."""
+    mesh_cfg = mesh_cfg or pipe.cfg.mesh
+    sharded = shard_pipeline_params(pipe, params, mesh, mesh_cfg)
+    data = batch_sharding(mesh, mesh_cfg)
+
+    fn = jax.jit(
+        lambda p, wav: pipe.explain(p, wav, decoder, masking),
+        in_shardings=(None, data),
+    )
+    return fn, sharded

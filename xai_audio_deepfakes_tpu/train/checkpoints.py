@@ -25,12 +25,39 @@ def checkpoint_name(epoch: int, loss: float) -> str:
 _NAME_RE = re.compile(r"addvisor_epoch_(\d+)_loss_([0-9.]+)$")
 
 
-def save_checkpoint(directory: str, epoch: int, loss: float, state: Any) -> str:
-    """Save `state` (any pytree) under directory/addvisor_epoch_N_loss_X."""
+_async_ckptr: ocp.AsyncCheckpointer | None = None
+
+
+def _get_async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def save_checkpoint(
+    directory: str, epoch: int, loss: float, state: Any, async_save: bool = False
+) -> str:
+    """Save `state` (any pytree) under directory/addvisor_epoch_N_loss_X.
+
+    async_save=True hands the write to a background thread (Orbax async):
+    the device-to-host copy happens now, the filesystem write overlaps the
+    next epoch's compute. Call `wait_for_saves()` before reading the
+    checkpoint back or exiting."""
     path = os.path.abspath(os.path.join(directory, checkpoint_name(epoch, loss)))
+    if async_save:
+        ckptr = _get_async_checkpointer()
+        ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        return path
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until all async checkpoint writes have committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def latest_checkpoint(directory: str) -> str | None:
