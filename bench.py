@@ -16,6 +16,7 @@ numbers of its own).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -23,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main() -> None:
+def main(batch: int | None = None, iters: int = 10) -> None:
     # persistent compile cache: repeated driver runs (and recoveries from the
     # flaky remote-compile relay) reuse the compiled program
     try:
@@ -44,7 +45,9 @@ def main() -> None:
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(0))
 
-    batch = 32
+    # batch 128 won the measured sweep on v5e: 109 clips/s @8, 120 @32,
+    # 130 @64, 143 @128; 256 OOMs (bf16 FFN activations ~3 GB each)
+    batch = batch or int(os.environ.get("BENCH_BATCH", "128"))
     clip_seconds = cfg.audio.clip_seconds
     wav = jnp.asarray(
         np.random.default_rng(0)
@@ -63,7 +66,6 @@ def main() -> None:
     out = explain(params, wav)
     _ = np.asarray(out.probs_relevant)
 
-    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = explain(params, wav)

@@ -91,6 +91,23 @@ def test_gallery_builder(tmp_path):
     assert os.path.exists(tmp_path / "results.json")
 
 
+def test_cli_profile(monkeypatch, capsys):
+    """`cli profile` stage breakdown over a tiny pipeline (pipeline injected
+    so the test lane avoids the full-size compile)."""
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+
+    pipe = ADDvisorPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: (pipe, params))
+    rc = cli.main(["profile", "--batch-size", "2", "--iters", "1"])
+    assert rc is None or rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for stage in ("stft", "embed", "mask_unet", "explain_full"):
+        assert out[stage]["calls"] == 1
+        assert out[stage]["mean_ms"] > 0
+    assert out["batch"] == 2
+
+
 @pytest.mark.slow
 def test_cli_explain_smoke(tmp_path, rng):
     """`cli explain` end-to-end on a synthetic wav with the FULL-size model

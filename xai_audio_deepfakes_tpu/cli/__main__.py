@@ -356,6 +356,69 @@ def cmd_serve(args):
     serve_gallery(args.artifacts, port=args.port)
 
 
+def cmd_profile(args):
+    """Per-stage timing breakdown (+ optional jax.profiler trace) of the
+    explanation pipeline — the observability the reference lacks entirely
+    (SURVEY §5: tqdm bars only)."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.data.io import load_audio
+    from xai_audio_deepfakes_tpu.utils.profiling import StageTimer, trace
+
+    pipe, params = _build_pipeline(args)
+    if args.wav:
+        wavs = np.stack([load_audio(p)[0] for p in args.wav])
+        reps = max(1, args.batch_size // wavs.shape[0])
+        wavs = np.tile(wavs, (reps, 1))[: args.batch_size]
+    else:
+        wavs = (
+            np.random.default_rng(args.seed)
+            .standard_normal((args.batch_size, pipe.cfg.audio.num_samples))
+            .astype(np.float32)
+            * 0.1
+        )
+    wav = jnp.asarray(wavs)
+
+    stages = {
+        "stft": jax.jit(lambda w: pipe.spectrogram(w)),
+        "embed": jax.jit(lambda p, w: pipe.features(p, w)),
+        "mask_unet": jax.jit(
+            lambda p, w: pipe.predict_mask(p, pipe.spectrogram(w)[2])
+        ),
+        "explain_full": pipe.jit_explain(decoder=args.decoder),
+    }
+    # compile outside the timed region
+    for name, fn in stages.items():
+        out = fn(params, wav) if name != "stft" else fn(wav)
+        jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, out)
+
+    timer = StageTimer()
+    ctx = trace(args.trace_dir) if args.trace_dir else contextlib.nullcontext()
+    with ctx:
+        for _ in range(args.iters):
+            with timer.stage("stft", outputs=None):
+                out = stages["stft"](wav)
+                np.asarray(out[2])
+            with timer.stage("embed", outputs=None):
+                out = stages["embed"](params, wav)
+                np.asarray(out[..., -1:])
+            with timer.stage("mask_unet", outputs=None):
+                out = stages["mask_unet"](params, wav)
+                np.asarray(out[..., -1:])
+            with timer.stage("explain_full", outputs=None):
+                out = stages["explain_full"](params, wav)
+                np.asarray(out.probs_relevant)
+    summary = timer.summary()
+    summary["batch"] = args.batch_size
+    summary["device"] = str(jax.devices()[0])
+    if args.trace_dir:
+        summary["trace_dir"] = args.trace_dir
+    print(json.dumps(summary))
+
+
 def cmd_serve_api(args):
     from xai_audio_deepfakes_tpu.serve.api import serve_api
 
@@ -445,6 +508,14 @@ def main(argv=None):
     p.add_argument("--artifacts", required=True)
     p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("profile", help="per-stage timings + jax.profiler trace")
+    _common(p)
+    p.add_argument("--wav", nargs="*", default=[])
+    p.add_argument("--decoder", default="unet", choices=["unet", "features"])
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--trace-dir", default="", help="emit a jax.profiler trace here")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser(
         "serve-api", help="live explain API (micro-batched TPU serving)"
