@@ -133,6 +133,48 @@ def test_audio_batcher(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_load_audio_chunks(tmp_path, rng):
+    from xai_audio_deepfakes_tpu.data.io import load_audio_chunks
+
+    # 2.3 s file at 16 kHz, 1 s windows -> 3 chunks at 0/1/2 s
+    wav = rng.uniform(-0.5, 0.5, 36800).astype(np.float32)
+    p = str(tmp_path / "long.wav")
+    write_wav(p, wav, 16000)
+    chunks, starts = load_audio_chunks(p, clip_seconds=1.0)
+    assert chunks.shape == (3, 16000)
+    np.testing.assert_array_equal(starts, [0, 16000, 32000])
+    np.testing.assert_allclose(chunks[0], wav[:16000], atol=2e-4)
+    # last chunk zero-padded past the end of the signal
+    np.testing.assert_allclose(chunks[2, :4800], wav[32000:], atol=2e-4)
+    assert np.abs(chunks[2, 4800:]).max() == 0.0
+    # overlapping hop
+    chunks2, starts2 = load_audio_chunks(p, clip_seconds=1.0, hop_seconds=0.5)
+    np.testing.assert_array_equal(starts2[:3], [0, 8000, 16000])
+    # short file -> exactly one chunk
+    write_wav(str(tmp_path / "s.wav"), wav[:4000], 16000)
+    c3, s3 = load_audio_chunks(str(tmp_path / "s.wav"), clip_seconds=1.0)
+    assert c3.shape == (1, 16000) and s3.tolist() == [0]
+
+
+def test_audio_batcher_host_sharding(tmp_path, rng):
+    """Multi-host corpus sharding: shards partition the file list."""
+    for i in range(6):
+        write_wav(
+            str(tmp_path / f"{i}.wav"),
+            np.full(8000, (i + 1) / 10, np.float32), 16000,
+        )
+    paths = [f"{i}.wav" for i in range(6)]
+    seen = []
+    for shard in range(2):
+        b = AudioBatcher(
+            paths, batch_size=1, root=str(tmp_path), clip_seconds=0.5,
+            shuffle=False, shard_index=shard, num_shards=2,
+        )
+        assert len(b) == 3
+        seen += [round(float(x[0, 0]), 2) for x in b]
+    assert sorted(seen) == [0.1, 0.2, 0.3, 0.4, 0.5, 0.6]
+
+
 def test_prefetch_pipeline():
     from xai_audio_deepfakes_tpu.data.prefetch import (
         parallel_map,

@@ -93,10 +93,22 @@ def cmd_explain(args):
     )
     os.makedirs(args.out, exist_ok=True)
     results = []
-    wavs = [load_audio(p)[0] for p in args.wav]
-    for path, wav in zip(args.wav, wavs):
+    items = []  # (stem, source, wav[80000])
+    for path in args.wav:
+        base = os.path.splitext(os.path.basename(path))[0]
+        if args.chunk_long:
+            from xai_audio_deepfakes_tpu.data.io import load_audio_chunks
+
+            chunks, starts = load_audio_chunks(
+                path, clip_seconds=pipe.cfg.audio.clip_seconds
+            )
+            for i, (chunk, s) in enumerate(zip(chunks, starts)):
+                suffix = f"_chunk{i}" if len(chunks) > 1 else ""
+                items.append((f"{base}{suffix}", f"{path}@{int(s)}", chunk))
+        else:
+            items.append((base, path, load_audio(path)[0]))
+    for stem, path, wav in items:
         out = explain(params, jnp.asarray(wav[None]))
-        stem = os.path.splitext(os.path.basename(path))[0]
         write_wav(os.path.join(args.out, f"{stem}_original.wav"), wav)
         write_wav(
             os.path.join(args.out, f"{stem}_explanation.wav"),
@@ -395,22 +407,27 @@ def cmd_profile(args):
         out = fn(params, wav) if name != "stft" else fn(wav)
         jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, out)
 
+    # barrier = device-to-host copy of a TINY slice of the output: the device
+    # stream is in-order, so this waits for the program without paying a
+    # large-tensor transfer over the (possibly tunneled) link
+    tiny = lambda x: np.asarray(x[(slice(0, 1),) * x.ndim])
+
     timer = StageTimer()
     ctx = trace(args.trace_dir) if args.trace_dir else contextlib.nullcontext()
     with ctx:
         for _ in range(args.iters):
             with timer.stage("stft", outputs=None):
                 out = stages["stft"](wav)
-                np.asarray(out[2])
+                tiny(out[2])
             with timer.stage("embed", outputs=None):
                 out = stages["embed"](params, wav)
-                np.asarray(out[..., -1:])
+                tiny(out)
             with timer.stage("mask_unet", outputs=None):
                 out = stages["mask_unet"](params, wav)
-                np.asarray(out[..., -1:])
+                tiny(out)
             with timer.stage("explain_full", outputs=None):
                 out = stages["explain_full"](params, wav)
-                np.asarray(out.probs_relevant)
+                tiny(out.probs_relevant)
     summary = timer.summary()
     summary["batch"] = args.batch_size
     summary["device"] = str(jax.devices()[0])
@@ -442,6 +459,11 @@ def main(argv=None):
     p.add_argument("--wav", nargs="+", required=True)
     p.add_argument("--decoder", default="unet", choices=["unet", "features"])
     p.add_argument("--masking", default="log1p", choices=["linear", "log1p"])
+    p.add_argument(
+        "--chunk-long", action="store_true",
+        help="explain every 5 s window of long files (default: first 5 s, "
+             "the reference behavior)",
+    )
     p.set_defaults(fn=cmd_explain)
 
     p = sub.add_parser("train", help="train the mask decoder")

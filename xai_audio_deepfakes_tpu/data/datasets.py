@@ -135,8 +135,14 @@ class AudioBatcher:
         seed: int = 0,
         drop_remainder: bool = True,
         num_workers: int = 8,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
-        self.file_paths = list(file_paths)
+        # multi-host data parallelism: host i reads files i, i+N, i+2N, ...
+        # (per-host batches then concat into the global sharded batch; the
+        # reference's DDP loader had no equivalent — every rank re-read
+        # everything, train_addvisor.py:400-409)
+        self.file_paths = list(file_paths)[shard_index::num_shards]
         self.batch_size = batch_size
         self.root = root
         self.sample_rate = sample_rate

@@ -128,6 +128,40 @@ def load_audio_bytes(
     return _to_clip(wav, sr, target_sr, clip_seconds), target_sr
 
 
+def load_audio_chunks(
+    path: str,
+    target_sr: int = 16000,
+    clip_seconds: float = 5.0,
+    hop_seconds: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split an arbitrarily long file into consecutive clip windows.
+
+    The reference hard-crops every input to its first 5 s
+    (`audioprocessor.py:56-62`); chunking covers the whole file with the
+    same fixed-shape 5 s contract (so the one compiled program serves any
+    duration). Returns (chunks [N, clip_samples] float32, start_samples [N]);
+    the last chunk is right-zero-padded.
+    """
+    wav, sr = read_wav(path)
+    if wav.ndim > 1:
+        wav = wav[0]
+    if sr != target_sr:
+        wav = resample_poly_np(wav, sr, target_sr)
+    n = int(round(clip_seconds * target_sr))
+    hop = n if hop_seconds is None else int(round(hop_seconds * target_sr))
+    if hop <= 0:
+        raise ValueError(f"hop_seconds must be positive, got {hop_seconds}")
+    total = max(wav.shape[0], 1)
+    starts = list(range(0, total, hop))
+    # drop windows that start past the signal (possible when hop > length)
+    starts = [s for s in starts if s < wav.shape[0]] or [0]
+    chunks = np.zeros((len(starts), n), np.float32)
+    for i, s in enumerate(starts):
+        seg = wav[s : s + n]
+        chunks[i, : seg.shape[0]] = seg
+    return chunks, np.asarray(starts, np.int64)
+
+
 def wav_to_bytes(wav: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Encode a float waveform as 16-bit PCM WAV bytes (API responses)."""
     import io as _io
