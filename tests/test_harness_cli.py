@@ -40,6 +40,20 @@ def test_run_explanation_metrics(setup):
     assert 0 <= result["fidelity"] <= 1
 
 
+def test_run_explanation_metrics_sharded_matches(setup):
+    """Mesh-sharded eval sweep == single-device sweep (config-5 scaling)."""
+    from xai_audio_deepfakes_tpu.config import MeshConfig
+    from xai_audio_deepfakes_tpu.parallel.mesh import make_mesh
+
+    pipe, params, batches = setup
+    mesh = make_mesh(MeshConfig(model_parallel=2), devices=jax.devices()[:4])
+    single = run_explanation_metrics(pipe, params, batches)
+    sharded = run_explanation_metrics(pipe, params, batches, mesh=mesh)
+    assert sharded["num_clips"] == single["num_clips"]
+    for k in ("faithfulness", "fidelity", "average_drop"):
+        np.testing.assert_allclose(sharded[k], single[k], atol=1e-4)
+
+
 def test_run_attribution_metrics(setup):
     pipe, params, batches = setup
     result = run_attribution_metrics(

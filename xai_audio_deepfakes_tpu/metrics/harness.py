@@ -41,8 +41,20 @@ def run_explanation_metrics(
     decoder: str = "unet",
     masking: MaskingConvention = MaskingConvention.LOG1P,
     log_fn: Callable[[dict], None] | None = None,
+    mesh=None,
 ) -> dict:
-    explain = pipe.jit_explain(decoder=decoder, masking=masking)
+    """With `mesh`, the sweep runs dp x tp sharded (every chip scores its
+    slice of each batch — batch sizes must divide the data-axis size)."""
+    if mesh is not None:
+        from xai_audio_deepfakes_tpu.parallel.inference import (
+            make_sharded_explain,
+        )
+
+        explain, params = make_sharded_explain(
+            pipe, mesh, params, decoder=decoder, masking=masking
+        )
+    else:
+        explain = pipe.jit_explain(decoder=decoder, masking=masking)
     clean, rel, irr = [], [], []
     for wav in batches:
         out = explain(params, jnp.asarray(wav))
