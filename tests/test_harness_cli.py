@@ -105,6 +105,32 @@ def test_gallery_builder(tmp_path):
     assert os.path.exists(tmp_path / "results.json")
 
 
+def test_cli_explain_tiny_chunked_synthesized(monkeypatch, capsys, tmp_path, rng):
+    """`cli explain --chunk-long --synthesize` over a tiny pipeline: long
+    input splits into per-chunk artifacts and each gets a vocoded wav."""
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+    from xai_audio_deepfakes_tpu.data.io import write_wav
+
+    pipe = ADDvisorPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: (pipe, params))
+    # 1.2 s file, 0.5 s clips -> 3 chunks
+    wav_path = str(tmp_path / "long.wav")
+    write_wav(wav_path, rng.uniform(-0.3, 0.3, 19200).astype(np.float32), 16000)
+    rc = cli.main(
+        ["explain", "--wav", wav_path, "--out", str(tmp_path / "art"),
+         "--chunk-long", "--synthesize"]
+    )
+    assert rc is None or rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["explained"] == 3
+    for i in range(3):
+        assert os.path.exists(tmp_path / "art" / f"long_chunk{i}_explanation.wav")
+        assert os.path.exists(
+            tmp_path / "art" / f"long_chunk{i}_explanation_vocoded.wav"
+        )
+
+
 def test_cli_profile(monkeypatch, capsys):
     """`cli profile` stage breakdown over a tiny pipeline (pipeline injected
     so the test lane avoids the full-size compile)."""

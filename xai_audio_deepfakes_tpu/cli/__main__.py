@@ -51,6 +51,27 @@ def _build_pipeline(args):
     return pipe, params
 
 
+def _load_hifigan(args, pipe, params):
+    """Ensure a HiFi-GAN param subtree exists (random-init or torch/
+    SpeechBrain checkpoint import via --hifigan-ckpt)."""
+    import jax
+
+    if "hifigan" not in params:
+        params["hifigan"] = pipe.hifigan.init(
+            jax.random.PRNGKey(args.seed),
+            np.zeros((1, pipe.cfg.mel.n_mels, 8), np.float32),
+        )
+    if getattr(args, "hifigan_ckpt", ""):
+        import torch
+
+        from xai_audio_deepfakes_tpu.models.hifigan import params_from_torch_state_dict
+
+        sd = torch.load(args.hifigan_ckpt, map_location="cpu")
+        sd = {k: v.numpy() for k, v in sd.items()}
+        params["hifigan"] = params_from_torch_state_dict(sd, pipe.cfg.hifigan)
+    return params
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
@@ -87,10 +108,16 @@ def cmd_explain(args):
         print(f"error: wav file(s) not found: {', '.join(missing)}", file=sys.stderr)
         return 2
 
+    import jax
+
     pipe, params = _build_pipeline(args)
     explain = pipe.jit_explain(
         decoder=args.decoder, masking=MaskingConvention(args.masking)
     )
+    vocode = None
+    if args.synthesize:
+        _load_hifigan(args, pipe, params)
+        vocode = jax.jit(pipe.vocode)
     os.makedirs(args.out, exist_ok=True)
     results = []
     items = []  # (stem, source, wav[80000])
@@ -114,6 +141,12 @@ def cmd_explain(args):
             os.path.join(args.out, f"{stem}_explanation.wav"),
             np.asarray(out.relevant_wav[0]),
         )
+        if vocode is not None:
+            voc = vocode(params, out.relevant_wav)
+            write_wav(
+                os.path.join(args.out, f"{stem}_explanation_vocoded.wav"),
+                np.asarray(voc[0]),
+            )
         mag = np.asarray(out.magnitude[0])
         mask = np.asarray(out.mask[0])
         save_spectrogram_png(mag, os.path.join(args.out, f"{stem}_spec.png"))
@@ -328,19 +361,7 @@ def cmd_vocode_datagen(args):
     from xai_audio_deepfakes_tpu.utils.logging import JSONLLogger
 
     pipe, params = _build_pipeline(args)
-    if "hifigan" not in params:
-        params["hifigan"] = pipe.hifigan.init(
-            jax.random.PRNGKey(args.seed),
-            np.zeros((1, pipe.cfg.mel.n_mels, 8), np.float32),
-        )
-    if args.hifigan_ckpt:
-        import torch
-
-        from xai_audio_deepfakes_tpu.models.hifigan import params_from_torch_state_dict
-
-        sd = torch.load(args.hifigan_ckpt, map_location="cpu")
-        sd = {k: v.numpy() for k, v in sd.items()}
-        params["hifigan"] = params_from_torch_state_dict(sd, pipe.cfg.hifigan)
+    _load_hifigan(args, pipe, params)
     names = extract_wavs(args.metadata)
     if args.limit:
         names = names[: args.limit]
@@ -464,6 +485,12 @@ def main(argv=None):
         help="explain every 5 s window of long files (default: first 5 s, "
              "the reference behavior)",
     )
+    p.add_argument(
+        "--synthesize", action="store_true",
+        help="also re-synthesize the explanation through HiFi-GAN "
+             "(mel -> generator) into {stem}_explanation_vocoded.wav",
+    )
+    p.add_argument("--hifigan-ckpt", default="", help="torch generator state dict")
     p.set_defaults(fn=cmd_explain)
 
     p = sub.add_parser("train", help="train the mask decoder")
