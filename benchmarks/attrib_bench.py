@@ -34,11 +34,22 @@ def main() -> None:
     from xai_audio_deepfakes_tpu.config import EmbedderConfig, PipelineConfig
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
+    import dataclasses
+
     method = os.environ.get("ATTRIB_METHOD", "input_x_gradient")
     batch = int(os.environ.get("ATTRIB_BATCH", "64"))
     iters = int(os.environ.get("ATTRIB_ITERS", "10"))
+    # remat + scan_layers shrink the backward HLO dramatically (the relay's
+    # compile service broke on the unrolled grad graph after ~70 min; the
+    # scanned one is ~num_layers x smaller)
+    remat = os.environ.get("ATTRIB_REMAT", "1") == "1"
+    scan = os.environ.get("ATTRIB_SCAN", "1") == "1"
 
-    cfg = PipelineConfig(embedder=EmbedderConfig(dtype="bfloat16"))
+    cfg = PipelineConfig(
+        embedder=dataclasses.replace(
+            EmbedderConfig(dtype="bfloat16"), remat=remat, scan_layers=scan
+        )
+    )
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(0))
 

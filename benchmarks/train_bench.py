@@ -45,7 +45,10 @@ def main() -> None:
     batch = int(os.environ.get("TRAIN_BATCH", "16"))
     iters = int(os.environ.get("TRAIN_ITERS", "10"))
 
-    emb = dataclasses.replace(EmbedderConfig(dtype="bfloat16"), remat=True)
+    scan = os.environ.get("TRAIN_SCAN", "1") == "1"
+    emb = dataclasses.replace(
+        EmbedderConfig(dtype="bfloat16"), remat=True, scan_layers=scan
+    )
     cfg = PipelineConfig(embedder=emb)
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(0))

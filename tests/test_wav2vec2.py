@@ -81,6 +81,65 @@ def test_all_hidden_states_parity(hf_tiny, rng):
         )
 
 
+def test_scan_layers_matches_unrolled(rng):
+    """lax.scan over stacked layer params == the unrolled stack, for the
+    plain output, remat, and collect_hidden paths."""
+    import dataclasses
+
+    from xai_audio_deepfakes_tpu.models.wav2vec2 import stack_layer_params
+
+    wav = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    unrolled_cfg = TINY
+    enc_u = Wav2Vec2Encoder(unrolled_cfg)
+    # init with collect_hidden so all num_layers exist (output_layer <
+    # num_layers in the tiny config)
+    params_u = enc_u.init(jax.random.PRNGKey(0), wav, collect_hidden=True)
+    ref, ref_hidden = enc_u.apply(params_u, wav, collect_hidden=True)
+
+    import copy
+
+    p = copy.deepcopy(jax.tree.map(np.asarray, params_u["params"]))
+    stack_layer_params(p, unrolled_cfg.num_layers)
+    params_s = {"params": p}
+    for scan_cfg in (
+        dataclasses.replace(unrolled_cfg, scan_layers=True),
+        dataclasses.replace(unrolled_cfg, scan_layers=True, remat=True),
+    ):
+        enc_s = Wav2Vec2Encoder(scan_cfg)
+        out = jax.jit(enc_s.apply)(params_s, wav)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        out2, hidden = enc_s.apply(params_s, wav, collect_hidden=True)
+        assert len(hidden) == len(ref_hidden)
+        for a, b in zip(hidden, ref_hidden):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # init in scan mode produces the stacked layout directly
+    enc_s = Wav2Vec2Encoder(dataclasses.replace(unrolled_cfg, scan_layers=True))
+    fresh = enc_s.init(jax.random.PRNGKey(1), wav)
+    stacked_kernel = fresh["params"]["layers"]["layer"]["q_proj"]["kernel"]
+    assert stacked_kernel.shape == (
+        unrolled_cfg.num_layers, TINY.hidden_size, TINY.hidden_size,
+    )
+
+
+def test_scan_layers_hf_import_parity(hf_tiny, rng):
+    """HF import with scan_layers=True matches hidden_states[k] too."""
+    import dataclasses
+
+    wav = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        out = hf_tiny(torch.from_numpy(wav), output_hidden_states=True)
+    ref = out.hidden_states[TINY.output_layer].numpy()
+
+    cfg = dataclasses.replace(TINY, scan_layers=True)
+    enc = Wav2Vec2Encoder(cfg)
+    params = params_from_hf_state_dict(
+        {k: v.numpy() for k, v in hf_tiny.state_dict().items()}, cfg
+    )
+    ours = enc.apply(params, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4)
+
+
 def test_frame_count_80000_samples():
     """The conv encoder produces 249 frames for 80000 samples (hop-322
     alignment trick, `audioprocessor.py:25-27` + SURVEY 2.3)."""

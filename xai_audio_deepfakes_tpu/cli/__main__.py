@@ -32,7 +32,10 @@ def _build_pipeline(args):
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
     cfg = PipelineConfig(
-        embedder=EmbedderConfig(dtype=args.dtype),
+        embedder=EmbedderConfig(
+            dtype=args.dtype,
+            scan_layers=getattr(args, "scan_layers", False),
+        ),
     )
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(args.seed))
@@ -75,6 +78,11 @@ def _load_hifigan(args, pipe, params):
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--scan-layers", action="store_true",
+        help="lax.scan over embedder layers (much faster XLA compiles; "
+             "identical numerics; stacked param layout)",
+    )
     p.add_argument("--embedder-dir", default="", help="local HF checkpoint dir")
     p.add_argument("--logreg-joblib", default="", help="sklearn joblib checkpoint")
     p.add_argument("--checkpoint", default="", help="orbax UNet checkpoint dir")

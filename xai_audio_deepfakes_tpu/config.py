@@ -137,6 +137,9 @@ class EmbedderConfig:
     # (hidden_states[9] of a >=10-layer truncation is NOT final-LN'd; a
     # 9-layer truncation's last hidden state IS — configurable for parity)
     remat: bool = False  # rematerialize encoder layers (training memory)
+    scan_layers: bool = False  # lax.scan over the layer stack: ~num_layers x
+    # smaller HLO -> much faster XLA compiles (essential for grad graphs and
+    # deep truncations); params stack to [L, ...] under 'layers/layer'
     dtype: str = "float32"  # compute dtype; "bfloat16" for TPU serving
 
     @staticmethod

@@ -164,11 +164,31 @@ class EncoderLayer(nn.Module):
         return x + y
 
 
+class _ScanLayerBody(nn.Module):
+    """scan body: one EncoderLayer per step over stacked [L, ...] params.
+    `collect` additionally emits each layer's INPUT as the scan output
+    (for hidden_states parity); off by default to avoid materializing the
+    [L, B, T, H] stack."""
+
+    cfg: EmbedderConfig
+    collect: bool = False
+
+    @nn.compact
+    def __call__(self, x, _):
+        y = EncoderLayer(self.cfg, name="layer")(x)
+        return y, (x if self.collect else None)
+
+
 class Wav2Vec2Encoder(nn.Module):
     """waveform [B, L] -> SSL features [B, T, H] (== HF hidden_states[output_layer]).
 
     Set `collect_hidden=True` to also return the full hidden-states tuple
     (HF `output_hidden_states=True` semantics).
+
+    cfg.scan_layers switches the layer stack from a Python unroll to
+    lax.scan over stacked params — the program is ~num_layers x smaller, so
+    XLA compiles (especially of gradient graphs) are dramatically faster;
+    numerics are identical (see test_scan_layers_matches_unrolled).
     """
 
     cfg: EmbedderConfig
@@ -180,14 +200,42 @@ class Wav2Vec2Encoder(nn.Module):
         x = FeatureProjection(cfg, name="feature_projection")(x)
         x = x + PositionalConvEmbedding(cfg, name="pos_conv")(x)
 
-        hidden_states = [x]
-        layer_cls = EncoderLayer
-        if cfg.remat:
-            layer_cls = nn.remat(EncoderLayer)
-        n_run = min(cfg.output_layer, cfg.num_layers) if not collect_hidden else cfg.num_layers
-        for i in range(n_run):
-            x = layer_cls(cfg, name=f"layer_{i}")(x)
-            hidden_states.append(x)
+        if cfg.scan_layers:
+            # the param stack is always [num_layers, ...]; an inner readout
+            # (output_layer < num_layers) collects per-layer states. For the
+            # flagship truncation num_layers == output_layer, so nothing
+            # extra runs or materializes.
+            collect = collect_hidden or cfg.output_layer < cfg.num_layers
+            body = nn.remat(_ScanLayerBody) if cfg.remat else _ScanLayerBody
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_layers,
+            )(cfg, collect=collect, name="layers")
+            first = x
+            x, inputs = scanned(x, None)  # inputs: [L, B, T, H] if collect
+            if collect:
+                hidden_states = (
+                    [first]
+                    + [inputs[i] for i in range(1, cfg.num_layers)]
+                    + [x]
+                )
+            else:
+                hidden_states = [x]  # == hidden_states[output_layer]
+        else:
+            n_run = (
+                cfg.num_layers
+                if collect_hidden
+                else min(cfg.output_layer, cfg.num_layers)
+            )
+            hidden_states = [x]
+            layer_cls = EncoderLayer
+            if cfg.remat:
+                layer_cls = nn.remat(EncoderLayer)
+            for i in range(n_run):
+                x = layer_cls(cfg, name=f"layer_{i}")(x)
+                hidden_states.append(x)
 
         out = hidden_states[min(cfg.output_layer, len(hidden_states) - 1)]
         if cfg.final_layer_norm:
@@ -217,6 +265,24 @@ def _wn_effective_weight(sd: dict, prefix: str) -> np.ndarray:
             norm = np.sqrt((v * v).sum(axis=(0, 1), keepdims=True))
             return g * v / np.maximum(norm, 1e-12)
     return np.asarray(sd[f"{prefix}.weight"], dtype=np.float32)
+
+
+def stack_layer_params(p: dict, n_layers: int) -> dict:
+    """Convert unrolled `layer_{i}` param subtrees into the scanned layout
+    (`layers/layer` with a leading [n_layers] axis). In-place on `p`."""
+    layers = [p.pop(f"layer_{i}") for i in range(n_layers)]
+    p["layers"] = {
+        "layer": jax.tree.map(lambda *xs: np.stack(xs), *layers)
+    }
+    return p
+
+
+def unstack_layer_params(p: dict, n_layers: int) -> dict:
+    """Inverse of stack_layer_params (scanned -> unrolled layout)."""
+    stacked = p.pop("layers")["layer"]
+    for i in range(n_layers):
+        p[f"layer_{i}"] = jax.tree.map(lambda x: np.asarray(x[i]), stacked)
+    return p
 
 
 def params_from_hf_state_dict(sd: dict, cfg: EmbedderConfig) -> dict:
@@ -294,6 +360,9 @@ def params_from_hf_state_dict(sd: dict, cfg: EmbedderConfig) -> dict:
             "scale": arr("encoder.layer_norm.weight"),
             "bias": arr("encoder.layer_norm.bias"),
         }
+
+    if cfg.scan_layers:
+        stack_layer_params(p, min(cfg.num_layers, n_avail))
 
     return jax.tree.map(jnp.asarray, {"params": p})
 

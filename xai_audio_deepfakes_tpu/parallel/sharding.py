@@ -23,17 +23,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from xai_audio_deepfakes_tpu.config import MeshConfig
 
 
-def _spec_for_path(path: tuple, axis: str) -> P:
+def _spec_for_path(path: tuple, axis: str, ndim: int) -> P:
+    """Kernel rank disambiguates the unrolled (2-D) vs scanned (3-D, leading
+    [L] layer axis from `EmbedderConfig.scan_layers`) layouts."""
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(n) for n in names)
     if "q_proj" in joined or "k_proj" in joined or "v_proj" in joined or "ffn_in" in joined:
         if joined.endswith("kernel"):
-            return P(None, axis)
+            return P(None, axis) if ndim == 2 else P(None, None, axis)
         if joined.endswith("bias"):
-            return P(axis)
+            return P(axis) if ndim == 1 else P(None, axis)
     if "out_proj" in joined or "ffn_out" in joined:
         if joined.endswith("kernel"):
-            return P(axis, None)
+            return P(axis, None) if ndim == 2 else P(None, axis, None)
         return P()
     return P()
 
@@ -41,7 +43,8 @@ def _spec_for_path(path: tuple, axis: str) -> P:
 def embedder_param_specs(params: dict, cfg: MeshConfig = MeshConfig()):
     """Pytree of PartitionSpec matching an encoder param tree."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: _spec_for_path(path, cfg.model_axis), params
+        lambda path, leaf: _spec_for_path(path, cfg.model_axis, leaf.ndim),
+        params,
     )
 
 
