@@ -142,8 +142,21 @@ def cmd_explain(args):
                 items.append((f"{base}{suffix}", f"{path}@{int(s)}", chunk))
         else:
             items.append((base, path, load_audio(path)[0]))
-    for stem, path, wav in items:
-        out = explain(params, jnp.asarray(wav[None]))
+    # fixed-shape batched dispatches: pad the tail so every call hits the
+    # same compiled program (one compile, full MXU batches)
+    bs = max(1, args.batch_size)
+    outs = []
+    for i in range(0, len(items), bs):
+        group = items[i : i + bs]
+        rows = np.zeros((bs, pipe.cfg.audio.num_samples), np.float32)
+        for j, (_, _, w) in enumerate(group):
+            rows[j] = w
+        out = explain(params, jnp.asarray(rows))
+        outs.extend(
+            jax.tree.map(lambda x, j=j: np.asarray(x[j : j + 1]), out)
+            for j in range(len(group))
+        )
+    for (stem, path, wav), out in zip(items, outs):
         write_wav(os.path.join(args.out, f"{stem}_original.wav"), wav)
         write_wav(
             os.path.join(args.out, f"{stem}_explanation.wav"),
