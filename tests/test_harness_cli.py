@@ -84,6 +84,26 @@ def test_train_detector_separable(rng):
     assert cos > 0.999, cos
 
 
+def test_cli_platform_flag(tmp_path, rng, capsys):
+    """Global --platform pins the jax backend before any jax use (the baked
+    axon sitecustomize overrides JAX_PLATFORMS, so the flag is the only
+    reliable knob on relay-tunneled boxes)."""
+    from xai_audio_deepfakes_tpu.cli.__main__ import main
+
+    x = rng.standard_normal((60, 4)).astype(np.float32)
+    y = (x @ np.array([1.0, -1, 1, -1]) > 0).astype(np.int64)
+    feats = tmp_path / "fx.npz"
+    np.savez(feats, X=x, y=y)
+    rc = main(["--platform", "cpu", "train-detector",
+               "--features", str(feats), "--out", str(tmp_path / "det")])
+    assert not rc
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["eer"] <= 1.0
+    import jax
+
+    assert jax.default_backend() == "cpu"
+
+
 def test_gallery_builder(tmp_path):
     from xai_audio_deepfakes_tpu.serve.viewer import build_gallery
 

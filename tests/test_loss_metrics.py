@@ -144,6 +144,25 @@ def test_eer_matches_scipy_reference(rng):
     assert abs(ours - ref) < 5e-3, (ours, ref)
 
 
+def test_eer_tied_scores_matches_sklearn(rng):
+    """Tied scores share one ROC threshold; intermediate staircase vertices
+    must be dropped (sklearn semantics), or the EER crossing shifts with the
+    arbitrary sort order among ties."""
+    from scipy.interpolate import interp1d
+    from scipy.optimize import brentq
+    from sklearn.metrics import roc_curve as sk_roc
+
+    # Heavily quantized scores -> many cross-class ties.
+    scores = np.round(np.concatenate([
+        rng.standard_normal(400) + 0.7, rng.standard_normal(400) - 0.7,
+    ]) * 2) / 2
+    labels = np.concatenate([np.ones(400), np.zeros(400)])
+    fpr, tpr, _ = sk_roc(labels, scores, pos_label=1)
+    ref = brentq(lambda x: 1.0 - x - interp1d(fpr, tpr)(x), 0.0, 1.0)
+    ours = compute_eer(scores, labels)
+    assert abs(ours - ref) < 1e-9, (ours, ref)
+
+
 def test_eer_extremes():
     assert compute_eer(np.array([1, 2, 3, 4.0]), np.array([0, 0, 1, 1])) == 0.0
     assert compute_eer(np.array([4, 3, 2, 1.0]), np.array([0, 0, 1, 1])) == 1.0

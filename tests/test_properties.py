@@ -93,8 +93,12 @@ def test_eer_monotone_invariance(scores, labels):
     if labels.min() == labels.max():
         return  # EER undefined with a single class
     e1 = compute_eer(scores, labels)
-    # strictly monotone transform of scores preserves the ROC, hence the EER
-    e2 = compute_eer(np.tanh(scores * 0.5) * 3 + 1, labels)
+    # Strictly monotone transform of scores preserves the ROC, hence the EER.
+    # f(x) = x + tanh(x) in float64 is expansive (f' >= 1), so it can never
+    # collapse distinct float scores into new ties (a saturating transform
+    # like tanh alone can, which legitimately changes the ROC).
+    s64 = scores.astype(np.float64)
+    e2 = compute_eer(s64 + np.tanh(s64), labels)
     assert 0.0 <= e1 <= 1.0
     np.testing.assert_allclose(e1, e2, atol=1e-9)
 

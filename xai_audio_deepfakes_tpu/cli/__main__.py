@@ -492,8 +492,22 @@ def cmd_serve_api(args):
     )
 
 
+def _force_platform(name: str) -> None:
+    """Pin the JAX backend before any jax use. Needed because environments
+    that bake a platform via sitecustomize (e.g. a TPU relay) can override
+    ``JAX_PLATFORMS`` set on the command line; ``jax.config`` wins."""
+    import jax
+
+    jax.config.update("jax_platforms", name)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="xai_audio_deepfakes_tpu")
+    parser.add_argument(
+        "--platform", default=os.environ.get("ADDVISOR_PLATFORM", ""),
+        help="force the JAX backend (e.g. cpu, tpu); default: ambient. "
+             "Also settable via ADDVISOR_PLATFORM.",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("explain", help="wav -> mask -> listenable explanation")
@@ -597,6 +611,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_serve_api)
 
     args = parser.parse_args(argv)
+    if args.platform:
+        _force_platform(args.platform)
     return args.fn(args)
 
 

@@ -17,9 +17,16 @@ def roc_curve(scores: np.ndarray, labels: np.ndarray):
     scores = np.asarray(scores, dtype=np.float64).ravel()
     labels = np.asarray(labels).ravel().astype(bool)
     order = np.argsort(-scores, kind="stable")
+    sorted_scores = scores[order]
     labels = labels[order]
     tps = np.cumsum(labels)
     fps = np.cumsum(~labels)
+    # Tied scores share one threshold: keep only the cumulative counts at the
+    # end of each tied group (intermediate staircase vertices are not on the
+    # ROC — matches sklearn.metrics.roc_curve's drop of duplicate thresholds).
+    distinct = np.concatenate([sorted_scores[1:] != sorted_scores[:-1], [True]])
+    tps = tps[distinct]
+    fps = fps[distinct]
     tpr = tps / max(tps[-1], 1)
     fpr = fps / max(fps[-1], 1)
     return np.concatenate([[0.0], fpr]), np.concatenate([[0.0], tpr])
