@@ -38,8 +38,12 @@ def main(batch: int | None = None, iters: int = 10) -> None:
 
     from xai_audio_deepfakes_tpu.config import UNetConfig
 
+    # int8 MXU matmuls for the embedder transformer are the serving default
+    # (+11% over bf16, masks/waveforms bit-identical to bf16 — see
+    # docs/performance.md); BENCH_QUANT=none measures the pure-bf16 path
+    quant = os.environ.get("BENCH_QUANT", "int8")
     cfg = PipelineConfig(
-        embedder=EmbedderConfig(dtype="bfloat16"),
+        embedder=EmbedderConfig(dtype="bfloat16", quant=quant),
         unet=UNetConfig(dtype="bfloat16"),
     )
     pipe = ADDvisorPipeline(cfg)
@@ -83,6 +87,7 @@ def main(batch: int | None = None, iters: int = 10) -> None:
                 "vs_baseline": round(rtf / 50.0, 3),
                 "rtf": round(rtf, 1),
                 "batch": batch,
+                "quant": quant,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -180,3 +180,47 @@ def test_params_from_hf_dir_roundtrip(hf_tiny, rng, tmp_path):
     a = enc.apply(params_dir, jnp.asarray(wav))
     b = enc.apply(params_sd, jnp.asarray(wav))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_int8_quant_matmul_accuracy(rng):
+    """Dynamic int8 matmul (per-token + per-channel scales) stays within ~1%
+    relative error of the f32 matmul on well-conditioned inputs."""
+    from xai_audio_deepfakes_tpu.ops.quant import int8_matmul
+
+    x = rng.standard_normal((4, 33, 64)).astype(np.float32)
+    w = rng.standard_normal((64, 48)).astype(np.float32)
+    ref = x @ w
+    out = np.asarray(jax.jit(int8_matmul)(jnp.asarray(x), jnp.asarray(w)))
+    # quantization noise is uniform across the output, so the right metric is
+    # the relative Frobenius error (per-element max is dominated by outputs
+    # that happen to be near zero)
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+    # exactness on exactly-representable inputs: powers of two times scale
+    x2 = np.zeros((1, 2, 4), np.float32); x2[0, 0, 0] = 127.0; x2[0, 1, 2] = -127.0
+    w2 = np.eye(4, dtype=np.float32) * 127.0
+    np.testing.assert_allclose(
+        np.asarray(int8_matmul(jnp.asarray(x2), jnp.asarray(w2))), x2 @ w2,
+        rtol=1e-6,
+    )
+
+
+def test_int8_encoder_close_to_f32(rng):
+    """quant="int8" shares the f32 param tree and produces features highly
+    correlated with the f32 path (serving-accuracy smoke)."""
+    import dataclasses
+
+    wav = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    enc32 = Wav2Vec2Encoder(TINY)
+    params = enc32.init(jax.random.PRNGKey(0), wav)
+    ref = np.asarray(enc32.apply(params, wav))
+
+    enc8 = Wav2Vec2Encoder(dataclasses.replace(TINY, quant="int8"))
+    # identical tree: no re-init, no param surgery
+    out = np.asarray(jax.jit(enc8.apply)(params, wav))
+    assert out.shape == ref.shape
+    a, b = ref.ravel(), out.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.999, cos
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+    assert rel < 0.05, rel

@@ -35,6 +35,7 @@ def _build_pipeline(args):
         embedder=EmbedderConfig(
             dtype=args.dtype,
             scan_layers=getattr(args, "scan_layers", False),
+            quant=getattr(args, "quant", "none"),
         ),
     )
     pipe = ADDvisorPipeline(cfg)
@@ -82,6 +83,11 @@ def _common(p: argparse.ArgumentParser):
         "--scan-layers", action="store_true",
         help="lax.scan over embedder layers (much faster XLA compiles; "
              "identical numerics; stacked param layout)",
+    )
+    p.add_argument(
+        "--quant", default="none", choices=["none", "int8"],
+        help="int8: embedder transformer matmuls on the int8 MXU "
+             "(~2x bf16 peak; serving only)",
     )
     p.add_argument("--embedder-dir", default="", help="local HF checkpoint dir")
     p.add_argument("--logreg-joblib", default="", help="sklearn joblib checkpoint")

@@ -141,6 +141,11 @@ class EmbedderConfig:
     # smaller HLO -> much faster XLA compiles (essential for grad graphs and
     # deep truncations); params stack to [L, ...] under 'layers/layer'
     dtype: str = "float32"  # compute dtype; "bfloat16" for TPU serving
+    quant: str = "none"  # "int8": transformer q/k/v/out + FFN matmuls run as
+    # int8 x int8 -> int32 on the MXU (~2x bf16 peak on v5e) with per-token
+    # activation scales and per-channel weight scales computed in-graph; the
+    # param tree stays f32, so every weight-import path works unchanged.
+    # Serving-only knob (quantization is not differentiated through).
 
     @staticmethod
     def xls_r_2b_full() -> "EmbedderConfig":

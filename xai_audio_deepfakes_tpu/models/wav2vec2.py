@@ -57,6 +57,11 @@ class ConvLayerNormBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [B, L, C]
+        # NOTE: deliberately NOT int8-quantized even under cfg.quant: the
+        # early conv layers run at L ~ 16k x 512ch where the int32
+        # accumulator temps double activation HBM (measured: batch-128
+        # serving goes 15.7G -> 17.6G, OOM), and conv FLOPs concentrate in
+        # exactly those layers — int8 convs lose on this geometry.
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel,),
@@ -129,9 +134,42 @@ class PositionalConvEmbedding(nn.Module):
         return jax.nn.gelu(y, approximate=False)
 
 
+class Int8Dense(nn.Module):
+    """Drop-in Dense running its matmul as int8 x int8 -> int32 on the MXU
+    (`ops/quant.py`). Param tree ("kernel" [K,N] f32, "bias" [N] f32) is
+    identical to nn.Dense, so checkpoints and HF imports work unchanged."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, xq=None, sx=None):
+        from xai_audio_deepfakes_tpu.ops.quant import (
+            int8_matmul_prequant,
+            quantize_symmetric,
+        )
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        if xq is None:
+            xq, sx = quantize_symmetric(x, axis=-1)
+        return (int8_matmul_prequant(xq, sx, kernel) + bias).astype(self.dtype)
+
+
 class EncoderLayer(nn.Module):
     """Pre-LN transformer layer (HF Wav2Vec2EncoderLayerStableLayerNorm):
-    x += attn(LN(x)); x += ffn(LN(x)). Exact-GELU FFN, biased q/k/v/out."""
+    x += attn(LN(x)); x += ffn(LN(x)). Exact-GELU FFN, biased q/k/v/out.
+
+    With cfg.quant == "int8" the six projection matmuls (q/k/v/out, FFN
+    in/out) run int8 on the MXU; LN, softmax, and the small attention
+    einsums stay in f32/bf16 (they carry ~t/(6h) of the layer's FLOPs)."""
 
     cfg: EmbedderConfig
 
@@ -143,11 +181,26 @@ class EncoderLayer(nn.Module):
         hd = h // nh
         dt = _dtype(cfg)
 
+        def dense(features, name):
+            if cfg.quant == "int8":
+                return Int8Dense(features, dtype=dt, name=name)
+            return nn.Dense(features, dtype=dt, name=name)
+
         residual = x
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(x)
-        q = nn.Dense(h, dtype=dt, name="q_proj")(y) * (hd**-0.5)
-        k = nn.Dense(h, dtype=dt, name="k_proj")(y)
-        v = nn.Dense(h, dtype=dt, name="v_proj")(y)
+        if cfg.quant == "int8":
+            # q/k/v read the same LN output: one shared activation-quantize
+            # pass instead of three (the quantize is HBM-bound)
+            from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
+
+            yq, sy = quantize_symmetric(y, axis=-1)
+            q = dense(h, "q_proj")(y, yq, sy) * (hd**-0.5)
+            k = dense(h, "k_proj")(y, yq, sy)
+            v = dense(h, "v_proj")(y, yq, sy)
+        else:
+            q = dense(h, "q_proj")(y) * (hd**-0.5)
+            k = dense(h, "k_proj")(y)
+            v = dense(h, "v_proj")(y)
         b, t = y.shape[0], y.shape[1]
         q = q.reshape(b, t, nh, hd)
         k = k.reshape(b, t, nh, hd)
@@ -155,12 +208,12 @@ class EncoderLayer(nn.Module):
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h)
-        x = residual + nn.Dense(h, dtype=dt, name="out_proj")(ctx)
+        x = residual + dense(h, "out_proj")(ctx)
 
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ffn_ln")(x)
-        y = nn.Dense(cfg.intermediate_size, dtype=dt, name="ffn_in")(y)
+        y = dense(cfg.intermediate_size, "ffn_in")(y)
         y = jax.nn.gelu(y, approximate=False)
-        y = nn.Dense(h, dtype=dt, name="ffn_out")(y)
+        y = dense(h, "ffn_out")(y)
         return x + y
 
 

@@ -1,0 +1,59 @@
+"""Dynamic int8 quantization for MXU matmuls (serving path).
+
+The reference has no quantization at all (its embedder runs fp32 CUDA,
+`classifier_embedder.py:13-18`); this is a TPU-native addition: v5e's MXU
+executes int8 x int8 -> int32 at ~2x the bf16 FLOP rate, so the embedder's
+transformer matmuls — the dominant cost of the explain path (SURVEY §3.1
+hot spots) — can nearly double in throughput at serving time.
+
+Scheme (standard dynamic symmetric quantization):
+  * activations: per-token (last-axis) scale  s_x = max|x| / 127
+  * weights:     per-output-channel scale     s_w = max|w| / 127
+  * y = (x_q @ w_q) * (s_x * s_w) + b, accumulated in int32.
+
+Weight quantization happens *in-graph* — it is O(K*N) elementwise against an
+O(M*K*N) matmul (M = B*T ~ 1e5 rows on the serving path), so folding it into
+the forward costs nothing measurable while keeping the param tree f32 and
+every checkpoint/import path unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_symmetric(x: jnp.ndarray, axis) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (int8 values, f32 scale with keepdims along `axis`)."""
+    x = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(x), axis=axis, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def int8_matmul_prequant(
+    xq: jnp.ndarray, sx: jnp.ndarray, w: jnp.ndarray
+) -> jnp.ndarray:
+    """Pre-quantized activations (xq int8 [..., K], sx f32 [..., 1]) @ w
+    [K, N] f32 -> [..., N] f32. Lets several projections off one tensor
+    (q/k/v off the same LN output) share a single activation-quantize pass —
+    the quantize is HBM-bound, so deduplicating it matters more than its
+    FLOPs."""
+    wq, sw = quantize_symmetric(w, axis=0)           # [K, N],  [1, N]
+    acc = jax.lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (sx * sw)
+
+
+def int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] (any float dtype) @ w [K, N] (f32) -> [..., N] f32.
+
+    Contracts on the MXU in int8 with int32 accumulation; rescales by the
+    outer product of the dynamic per-token and per-channel scales.
+    """
+    xq, sx = quantize_symmetric(x, axis=-1)          # [..., K], [..., 1]
+    return int8_matmul_prequant(xq, sx, w)
