@@ -58,3 +58,132 @@ def test_fused_vjp_matches_jnp(rng):
     g_f = jax.grad(loss_fused)(x)
     g_j = jax.grad(loss_jnp)(x)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_j), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# fused attention (ops/attention.py)
+# ---------------------------------------------------------------------------
+
+
+def _padded_qkv(rng, b, t, nh, hd, hdp):
+    """Head-padded activations as HeadDense produces them: [B, T, NH*HDP]
+    with exact-zero pad lanes."""
+    qkv = []
+    for _ in range(3):
+        x = rng.standard_normal((b, t, nh, hd)).astype(np.float32) * 0.2
+        xp = np.zeros((b, t, nh, hdp), np.float32)
+        xp[..., :hd] = x
+        qkv.append((jnp.asarray(x), jnp.asarray(xp.reshape(b, t, nh * hdp))))
+    return qkv
+
+
+def test_attention_pallas_matches_reference(rng):
+    from xai_audio_deepfakes_tpu.ops.attention import (
+        attention_pallas,
+        attention_reference,
+        head_pad_dim,
+    )
+
+    # production-like dims: T=249 frames, head_dim 120 padded to 128
+    b, t, nh, hd = 2, 249, 4, 120
+    hdp = head_pad_dim(hd)
+    (q, qp), (k, kp), (v, vp) = _padded_qkv(rng, b, t, nh, hd, hdp)
+    out_p = np.asarray(attention_pallas(qp, kp, vp, nh, interpret=True))
+    out_p = out_p.reshape(b, t, nh, hdp)
+    out_r = np.asarray(attention_reference(q, k, v))
+    np.testing.assert_allclose(out_p[..., :hd], out_r, atol=1e-5)
+    # pad lanes stay exactly zero (out_proj's padded rows rely on it only
+    # for cleanliness — they multiply by zero weights anyway)
+    np.testing.assert_array_equal(out_p[..., hd:], 0.0)
+
+
+def test_attention_pallas_small_t(rng):
+    from xai_audio_deepfakes_tpu.ops.attention import (
+        attention_pallas,
+        attention_reference,
+        head_pad_dim,
+    )
+
+    b, t, nh, hd = 1, 25, 2, 16  # tiny-config geometry
+    hdp = head_pad_dim(hd)
+    (q, qp), (k, kp), (v, vp) = _padded_qkv(rng, b, t, nh, hd, hdp)
+    out_p = np.asarray(attention_pallas(qp, kp, vp, nh, interpret=True))
+    out_p = out_p.reshape(b, t, nh, hdp)
+    np.testing.assert_allclose(
+        out_p[..., :hd], np.asarray(attention_reference(q, k, v)), atol=1e-5
+    )
+
+
+def test_attention_vjp_matches_autograd(rng):
+    import jax
+
+    from xai_audio_deepfakes_tpu.ops.attention import attention, head_pad_dim
+
+    b, t, nh, hd = 1, 37, 2, 24
+    hdp = head_pad_dim(hd)
+    (_, qp), (_, kp), (_, vp) = _padded_qkv(rng, b, t, nh, hd, hdp)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(attention(q, k, v, nh, True) ** 2)
+
+    def loss_ref(q, k, v):
+        from xai_audio_deepfakes_tpu.ops.attention import attention_reference
+
+        heads = lambda x: x.reshape(b, t, nh, hdp)
+        return jnp.sum(attention_reference(heads(q), heads(k), heads(v)) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(qp, kp, vp)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qp, kp, vp)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_head_dense_padding_matches_dense(rng):
+    """HeadDense with head_pad produces the plain Dense result in the real
+    lanes and exact zeros in the pad lanes; the pad_axis=0 variant folds the
+    padded context back without touching the result."""
+    import jax
+
+    from xai_audio_deepfakes_tpu.models.wav2vec2 import HeadDense
+
+    h, nh, hd = 48, 4, 12
+    hdp = 128
+    x = jnp.asarray(rng.standard_normal((2, 5, h)).astype(np.float32))
+    mod = HeadDense(h, h, dtype=jnp.float32, head_pad=(nh, hd, hdp), pad_axis=1)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    yp = np.asarray(mod.apply(params, x)).reshape(2, 5, nh, hdp)
+    plain = HeadDense(h, h, dtype=jnp.float32)
+    y = np.asarray(plain.apply(params, x)).reshape(2, 5, nh, hd)
+    np.testing.assert_allclose(yp[..., :hd], y, rtol=1e-6)
+    np.testing.assert_array_equal(yp[..., hd:], 0.0)
+
+    # out-proj variant: padded input rows carry zero weights
+    ctx_p = jnp.asarray(yp.reshape(2, 5, nh * hdp))
+    out_mod = HeadDense(h, h, dtype=jnp.float32, head_pad=(nh, hd, hdp), pad_axis=0)
+    out_params = out_mod.init(jax.random.PRNGKey(1), ctx_p)
+    got = np.asarray(out_mod.apply(out_params, ctx_p))
+    ref = np.asarray(
+        HeadDense(h, h, dtype=jnp.float32).apply(
+            out_params, jnp.asarray(y.reshape(2, 5, h))
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_layer_fused_attention_cpu_fallback(rng):
+    """On CPU the embedder keeps the einsum formulation, so fused_attention
+    on/off must agree exactly (params are interchangeable either way)."""
+    import dataclasses
+
+    import jax
+
+    from xai_audio_deepfakes_tpu.config import EmbedderConfig
+    from xai_audio_deepfakes_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    cfg_on = EmbedderConfig.tiny()
+    cfg_off = dataclasses.replace(cfg_on, fused_attention=False)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    params = Wav2Vec2Encoder(cfg_off).init(jax.random.PRNGKey(0), wav)
+    out_on = Wav2Vec2Encoder(cfg_on).apply(params, wav)
+    out_off = Wav2Vec2Encoder(cfg_off).apply(params, wav)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off), atol=0.0)

@@ -146,6 +146,10 @@ class EmbedderConfig:
     # activation scales and per-channel weight scales computed in-graph; the
     # param tree stays f32, so every weight-import path works unchanged.
     # Serving-only knob (quantization is not differentiated through).
+    fused_attention: bool = True  # Pallas fused attention on TPU (scores/
+    # softmax never touch HBM; differentiable via recompute VJP). On CPU the
+    # op falls back to the identical einsum formulation, so tests and the
+    # virtual-mesh dryrun are unaffected. See ops/attention.py.
 
     @staticmethod
     def xls_r_2b_full() -> "EmbedderConfig":

@@ -163,6 +163,67 @@ class Int8Dense(nn.Module):
         return (int8_matmul_prequant(xq, sx, kernel) + bias).astype(self.dtype)
 
 
+class HeadDense(nn.Module):
+    """Attention projection for the fused-attention path. Param tree is
+    nn.Dense-compatible (kernel [in_features, features] f32, bias [features]
+    f32 — checkpoints/HF imports unchanged), but the *weights* are zero-
+    padded per head so head_dim becomes lane-aligned (120 -> 128 for XLS-R):
+    pad_axis=1 pads output columns (q/k/v: activations come out [B, T,
+    NH*HDP] with exact-zero pad lanes), pad_axis=0 pads input rows
+    (out_proj consumes the padded context directly). Padding weights costs
+    O(H^2) elementwise per call — nothing next to the O(B*T*H^2) matmul —
+    and is what lets `ops/attention`'s kernel slice heads tile-aligned
+    instead of paying a relayout or a 3 GB HBM transpose per dispatch.
+    Optionally quantized like Int8Dense (zero pad columns/rows survive
+    symmetric quantization exactly)."""
+
+    in_features: int
+    features: int
+    dtype: Any
+    quant: str = "none"
+    head_pad: tuple | None = None  # (nh, hd, hdp)
+    pad_axis: int = 1
+
+    @nn.compact
+    def __call__(self, x, xq=None, sx=None):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        if self.head_pad is not None:
+            nh, hd, hdp = self.head_pad
+            if self.pad_axis == 1:
+                k3 = kernel.reshape(self.in_features, nh, hd)
+                kernel = jnp.pad(
+                    k3, ((0, 0), (0, 0), (0, hdp - hd))
+                ).reshape(self.in_features, nh * hdp)
+                bias = jnp.pad(
+                    bias.reshape(nh, hd), ((0, 0), (0, hdp - hd))
+                ).reshape(nh * hdp)
+            else:
+                k3 = kernel.reshape(nh, hd, self.features)
+                kernel = jnp.pad(
+                    k3, ((0, 0), (0, hdp - hd), (0, 0))
+                ).reshape(nh * hdp, self.features)
+        if self.quant == "int8":
+            from xai_audio_deepfakes_tpu.ops.quant import (
+                int8_matmul_prequant,
+                quantize_symmetric,
+            )
+
+            if xq is None:
+                xq, sx = quantize_symmetric(x, axis=-1)
+            return (int8_matmul_prequant(xq, sx, kernel) + bias).astype(self.dtype)
+        return (
+            x.astype(self.dtype) @ kernel.astype(self.dtype)
+        ) + bias.astype(self.dtype)
+
+
 class EncoderLayer(nn.Module):
     """Pre-LN transformer layer (HF Wav2Vec2EncoderLayerStableLayerNorm):
     x += attn(LN(x)); x += ffn(LN(x)). Exact-GELU FFN, biased q/k/v/out.
@@ -188,27 +249,55 @@ class EncoderLayer(nn.Module):
 
         residual = x
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(x)
-        if cfg.quant == "int8":
-            # q/k/v read the same LN output: one shared activation-quantize
-            # pass instead of three (the quantize is HBM-bound)
-            from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
+        # fused attention needs the head-padded projections; only worth it on
+        # TPU (the kernel), elsewhere the einsum path below is XLA-optimal
+        use_fused = cfg.fused_attention and jax.default_backend() == "tpu"
+        if use_fused:
+            from xai_audio_deepfakes_tpu.ops.attention import attention, head_pad_dim
 
-            yq, sy = quantize_symmetric(y, axis=-1)
-            q = dense(h, "q_proj")(y, yq, sy) * (hd**-0.5)
-            k = dense(h, "k_proj")(y, yq, sy)
-            v = dense(h, "v_proj")(y, yq, sy)
+            pad = (nh, hd, head_pad_dim(hd))
+
+            def proj(name, pad_axis=1):
+                return HeadDense(
+                    h, h, dtype=dt, quant=cfg.quant,
+                    head_pad=pad, pad_axis=pad_axis, name=name,
+                )
+
+            if cfg.quant == "int8":
+                from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
+
+                yq, sy = quantize_symmetric(y, axis=-1)
+                q = proj("q_proj")(y, yq, sy) * (hd**-0.5)
+                k = proj("k_proj")(y, yq, sy)
+                v = proj("v_proj")(y, yq, sy)
+            else:
+                q = proj("q_proj")(y) * (hd**-0.5)
+                k = proj("k_proj")(y)
+                v = proj("v_proj")(y)
+            ctx = attention(q, k, v, nh)  # [B, T, NH*HDP]
+            x = residual + proj("out_proj", pad_axis=0)(ctx)
         else:
-            q = dense(h, "q_proj")(y) * (hd**-0.5)
-            k = dense(h, "k_proj")(y)
-            v = dense(h, "v_proj")(y)
-        b, t = y.shape[0], y.shape[1]
-        q = q.reshape(b, t, nh, hd)
-        k = k.reshape(b, t, nh, hd)
-        v = v.reshape(b, t, nh, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h)
-        x = residual + dense(h, "out_proj")(ctx)
+            if cfg.quant == "int8":
+                # q/k/v read the same LN output: one shared activation-
+                # quantize pass instead of three (the quantize is HBM-bound)
+                from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
+
+                yq, sy = quantize_symmetric(y, axis=-1)
+                q = dense(h, "q_proj")(y, yq, sy) * (hd**-0.5)
+                k = dense(h, "k_proj")(y, yq, sy)
+                v = dense(h, "v_proj")(y, yq, sy)
+            else:
+                q = dense(h, "q_proj")(y) * (hd**-0.5)
+                k = dense(h, "k_proj")(y)
+                v = dense(h, "v_proj")(y)
+            b, t = y.shape[0], y.shape[1]
+            q = q.reshape(b, t, nh, hd)
+            k = k.reshape(b, t, nh, hd)
+            v = v.reshape(b, t, nh, hd)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h)
+            x = residual + dense(h, "out_proj")(ctx)
 
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ffn_ln")(x)
         y = dense(cfg.intermediate_size, "ffn_in")(y)
