@@ -15,14 +15,23 @@ jnp oracle's vjp — the LMAC loss differentiates through the fused kernels
 exactly as through the reference ops (`loss_function.py:46-53`).
 
 The jnp path stays the numerical oracle; `tests/test_pallas.py` checks
-equality in interpret mode on CPU and the TPU bench exercises the compiled
-path. Guide: /opt/skills/guides/pallas_guide.md.
+equality in interpret mode on CPU. Production status: the *default* TPU
+STFT/iSTFT path is `ops/stft.py`'s chunk-stream matmul-DFT formulation,
+which needs no gather/scatter at all and fuses fully in XLA — it measured
+at parity with these kernels, so the jnp path stays default. The forward
+STFT kernel compiles and runs on real TPU (bins padded 513 -> 640 for lane
+alignment). The iSTFT kernel's overlap-add writes at hop-strided (dynamic,
+non-lane-aligned) offsets, which Mosaic currently cannot lower — it is
+interpret-mode only; on TPU `istft_pallas` would need the chunk-stream OLA,
+i.e. exactly what `ops/stft.py::istft` already does.
+Guide: /opt/skills/guides/pallas_guide.md.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,8 +44,17 @@ from xai_audio_deepfakes_tpu.ops.window import torch_style_window
 TILE_T = 8
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _make_stft_call(num_frames: int, n_fft: int, hop: int, n_bins: int,
                     interpret: bool):
+    # Mosaic requires lane-aligned (multiple-of-128) block minor dims; the
+    # 513 one-sided bins are padded to 640 here (bases zero-padded, result
+    # sliced by the wrapper)
+    n_bins_p = _round_up(n_bins, 128)
+
     def kernel(wav_ref, win_ref, cos_ref, sin_ref, re_ref, im_ref):
         t = pl.program_id(0)
 
@@ -69,12 +87,12 @@ def _make_stft_call(num_frames: int, n_fft: int, hop: int, n_bins: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_T, n_bins), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, n_bins), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, n_bins_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, n_bins_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid_t * TILE_T, n_bins), jnp.float32),
-            jax.ShapeDtypeStruct((grid_t * TILE_T, n_bins), jnp.float32),
+            jax.ShapeDtypeStruct((grid_t * TILE_T, n_bins_p), jnp.float32),
+            jax.ShapeDtypeStruct((grid_t * TILE_T, n_bins_p), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -101,12 +119,16 @@ def stft_pallas(
         x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
 
     cos_b, sin_b = _dft_bases(n_fft)
+    n_bins_p = _round_up(n_bins, 128)
+    pad_cols = ((0, 0), (0, n_bins_p - n_bins))
+    cos_b = np.pad(cos_b, pad_cols)
+    sin_b = np.pad(sin_b, pad_cols)
     win = torch_style_window(cfg.window, cfg.win_length, n_fft)[None, :]
     call = _make_stft_call(total_t, n_fft, hop, n_bins, interpret)
 
     def one(row):
         re, im = call(row, jnp.asarray(win), jnp.asarray(cos_b), jnp.asarray(sin_b))
-        return re[:num_frames], im[:num_frames]
+        return re[:num_frames, :n_bins], im[:num_frames, :n_bins]
 
     re, im = jax.vmap(one)(x)
     return re.swapaxes(-1, -2), im.swapaxes(-1, -2)
