@@ -45,6 +45,29 @@ def _dtype(cfg: EmbedderConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+class _LNf32Stats(nn.Module):
+    """LayerNorm with f32 statistics but output cast to the compute dtype.
+    The conv frontend's early activations are the biggest tensors in the
+    whole serving graph ([3B, 16k, 512] ~ 6 GB bf16 at batch 128); an f32 LN
+    output (nn.LayerNorm(dtype=f32)) would double that dominant HBM traffic
+    for accuracy the next bf16 conv immediately discards. Param tree
+    ("scale" [C], "bias" [C] f32) matches nn.LayerNorm."""
+
+    eps: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        h = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (h,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (h,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        return (xc * jax.lax.rsqrt(var + self.eps) * scale + bias).astype(self.dtype)
+
+
 class ConvLayerNormBlock(nn.Module):
     """conv1d -> LayerNorm(channel) -> exact GELU (HF Wav2Vec2LayerNormConvLayer)."""
 
@@ -71,7 +94,7 @@ class ConvLayerNormBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="layer_norm")(x)
+        x = _LNf32Stats(self.eps, self.dtype, name="layer_norm")(x)
         return jax.nn.gelu(x, approximate=False)
 
 
