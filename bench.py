@@ -38,12 +38,14 @@ def main(batch: int | None = None, iters: int = 10) -> None:
 
     from xai_audio_deepfakes_tpu.config import UNetConfig
 
-    # int8 MXU matmuls for the embedder transformer are the serving default
-    # (+11% over bf16, masks/waveforms bit-identical to bf16 — see
-    # docs/performance.md); BENCH_QUANT=none measures the pure-bf16 path
+    # serving defaults: int8 MXU matmuls + tanh GELU for the embedder
+    # (masks/waveforms bit-identical to bf16; probability deltas below int8
+    # quantization noise — see docs/performance.md). BENCH_QUANT=none /
+    # BENCH_GELU=exact measure the conservative paths.
     quant = os.environ.get("BENCH_QUANT", "int8")
+    gelu = os.environ.get("BENCH_GELU", "tanh")
     cfg = PipelineConfig(
-        embedder=EmbedderConfig(dtype="bfloat16", quant=quant),
+        embedder=EmbedderConfig(dtype="bfloat16", quant=quant, gelu=gelu),
         unet=UNetConfig(dtype="bfloat16"),
     )
     pipe = ADDvisorPipeline(cfg)
@@ -88,6 +90,7 @@ def main(batch: int | None = None, iters: int = 10) -> None:
                 "rtf": round(rtf, 1),
                 "batch": batch,
                 "quant": quant,
+                "gelu": gelu,
                 "device": str(jax.devices()[0]),
             }
         )

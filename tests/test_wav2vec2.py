@@ -224,3 +224,22 @@ def test_int8_encoder_close_to_f32(rng):
     assert cos > 0.999, cos
     rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
     assert rel < 0.05, rel
+
+
+def test_tanh_gelu_encoder_close_to_exact(rng):
+    """gelu="tanh" (the 2.25x-cheaper VPU serving approximation) must keep
+    features tightly correlated with the exact-erf path on the same params."""
+    import dataclasses
+
+    wav = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    enc_exact = Wav2Vec2Encoder(TINY)
+    params = enc_exact.init(jax.random.PRNGKey(0), wav)
+    ref = np.asarray(enc_exact.apply(params, wav))
+    out = np.asarray(
+        Wav2Vec2Encoder(dataclasses.replace(TINY, gelu="tanh")).apply(params, wav)
+    )
+    a, b = ref.ravel(), out.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.9999, cos
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+    assert rel < 0.01, rel
