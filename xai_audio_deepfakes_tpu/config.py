@@ -65,6 +65,13 @@ class STFTConfig:
     window: str = "rect"  # "rect" | "hann"
     center: bool = True
     pad_mode: str = "reflect"
+    precision: str = "high"  # MXU precision for the DFT matmuls:
+    # "highest" (6-pass bf16, bit-closest to f32) | "high" (3-pass) |
+    # "default" (1-pass bf16). Measured at serving batch 128 on v5e:
+    # stft+istft 11.98 / 8.88 / 7.47 ms with max waveform error 0 /
+    # 1.9e-5 / 1.7e-3 vs HIGHEST — "high" sits 50x under the <1e-3
+    # parity budget (BASELINE.md) at 26% less DFT time, so it is the
+    # default; CPU tests are exact f32 regardless.
 
     @property
     def num_bins(self) -> int:

@@ -31,7 +31,8 @@ import numpy as np
 from xai_audio_deepfakes_tpu.config import STFTConfig
 from xai_audio_deepfakes_tpu.ops.window import torch_style_window
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+def _precision(cfg: STFTConfig):
+    return getattr(jax.lax.Precision, cfg.precision.upper())
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,8 +115,8 @@ def stft(
     frames = frame_signal(x, cfg)  # [B, T, n_fft]
     if method == "matmul":
         c, s = _dft_bases(cfg.n_fft)
-        re = jnp.matmul(frames, jnp.asarray(c), precision=_HIGHEST)
-        im = jnp.matmul(frames, jnp.asarray(s), precision=_HIGHEST)
+        re = jnp.matmul(frames, jnp.asarray(c), precision=_precision(cfg))
+        im = jnp.matmul(frames, jnp.asarray(s), precision=_precision(cfg))
     elif method == "fft":
         spec = jnp.fft.rfft(frames, axis=-1)
         re, im = jnp.real(spec), jnp.imag(spec)
@@ -169,8 +170,10 @@ def istft(
     im = imag.swapaxes(-1, -2)
     if method == "matmul":
         a_basis, b_basis = _idft_bases(cfg.n_fft)
-        frames = jnp.matmul(re, jnp.asarray(a_basis), precision=_HIGHEST) + jnp.matmul(
-            im, jnp.asarray(b_basis), precision=_HIGHEST
+        frames = jnp.matmul(
+            re, jnp.asarray(a_basis), precision=_precision(cfg)
+        ) + jnp.matmul(
+            im, jnp.asarray(b_basis), precision=_precision(cfg)
         )  # [B, T, n_fft]
     elif method == "fft":
         frames = jnp.fft.irfft(re + 1j * im, n=cfg.n_fft, axis=-1)
