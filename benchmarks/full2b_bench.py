@@ -1,0 +1,124 @@
+"""Untruncated XLS-R-2B forward on one chip — SURVEY §5's memory contingency.
+
+The product pipeline consumes hidden_states[9], so the flagship ships the
+9-layer truncation; `EmbedderConfig.xls_r_2b_full()` (48 layers, remat, bf16,
+`config.py`) exists for full-model studies. This bench instantiates it for
+real: full 48-layer forward at small batch, scan-layers, parameters cast to
+bf16 on device (2.07 B params -> ~4.2 GB HBM; the f32 tree would be ~8.3 GB
+and leave no activation headroom on a 16 GB v5e). Records clips/s or the OOM
+boundary; the 2-way tensor-parallel fallback is exercised by
+`tests/test_train.py`'s mesh tests and the dryrun entry.
+
+    python benchmarks/full2b_bench.py             # batch 4
+    FULL2B_BATCH=8 python benchmarks/full2b_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import dataclasses
+
+    from xai_audio_deepfakes_tpu.config import EmbedderConfig
+    from xai_audio_deepfakes_tpu.models.wav2vec2 import Wav2Vec2Encoder
+    from xai_audio_deepfakes_tpu.ops.normalize import zero_mean_unit_var_norm
+
+    batch = int(os.environ.get("FULL2B_BATCH", "4"))
+    iters = int(os.environ.get("FULL2B_ITERS", "5"))
+    num_samples = 80000
+
+    cfg = dataclasses.replace(
+        EmbedderConfig.xls_r_2b_full(), scan_layers=True
+    )
+    enc = Wav2Vec2Encoder(cfg)
+
+    # init on host then cast+transfer: 48 stacked layers at hidden 1920
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = enc.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, num_samples), jnp.float32)
+        )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    params = jax.device_put(
+        jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32
+            else x,
+            params,
+        ),
+        jax.devices()[0],
+    )
+
+    @jax.jit
+    def fwd(params, wav):
+        return enc.apply(params, zero_mean_unit_var_norm(wav))
+
+    wav = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0)
+            .standard_normal((batch, num_samples))
+            .astype(np.float32)
+            * 0.1
+        ),
+        jax.devices()[0],
+    )
+
+    try:
+        out = fwd(params, wav)  # compile
+        np.asarray(out[:1, :1, :1])  # barrier (see bench.py note)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(params, wav)
+        np.asarray(out[:1, :1, :1])
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "xls_r_2b_full fwd clips/sec/chip",
+                    "value": round(batch * iters / dt, 3),
+                    "unit": "clips/s",
+                    "batch": batch,
+                    "layers": cfg.num_layers,
+                    "params_B": round(n_params / 1e9, 3),
+                    "param_dtype": "bfloat16",
+                    "out_shape": list(out.shape),
+                    "device": str(jax.devices()[0]),
+                }
+            )
+        )
+    except Exception as e:  # record the OOM boundary instead of crashing
+        msg = str(e)
+        oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+        print(
+            json.dumps(
+                {
+                    "metric": "xls_r_2b_full fwd clips/sec/chip",
+                    "value": None,
+                    "batch": batch,
+                    "params_B": round(n_params / 1e9, 3),
+                    "oom": oom,
+                    "error": msg[:400],
+                }
+            )
+        )
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

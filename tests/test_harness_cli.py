@@ -94,14 +94,19 @@ def test_cli_platform_flag(tmp_path, rng, capsys):
     y = (x @ np.array([1.0, -1, 1, -1]) > 0).astype(np.int64)
     feats = tmp_path / "fx.npz"
     np.savez(feats, X=x, y=y)
-    rc = main(["--platform", "cpu", "train-detector",
-               "--features", str(feats), "--out", str(tmp_path / "det")])
-    assert not rc
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert 0.0 <= out["eer"] <= 1.0
     import jax
 
-    assert jax.default_backend() == "cpu"
+    prev = jax.config.jax_platforms
+    try:
+        rc = main(["--platform", "cpu", "train-detector",
+                   "--features", str(feats), "--out", str(tmp_path / "det")])
+        assert not rc
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 0.0 <= out["eer"] <= 1.0
+        assert jax.default_backend() == "cpu"
+    finally:
+        # don't leak the CLI's process-wide platform pin to later tests
+        jax.config.update("jax_platforms", prev)
 
 
 def test_gallery_builder(tmp_path):
@@ -190,3 +195,84 @@ def test_cli_explain_smoke(tmp_path, rng):
     assert line["explained"] == 1
     assert os.path.exists(tmp_path / "art" / "index.html")
     assert os.path.exists(tmp_path / "art" / "in_explanation.wav")
+
+
+def test_manipulated_probability_polarity():
+    from xai_audio_deepfakes_tpu.config import (
+        LabelPolarity,
+        manipulated_probability,
+    )
+
+    assert manipulated_probability(0.8, LabelPolarity.MANIPULATED_IS_ONE) == 0.8
+    assert manipulated_probability(0.8, "real_is_one") == pytest.approx(0.2)
+    arr = np.array([0.1, 0.9])
+    np.testing.assert_allclose(
+        manipulated_probability(arr, LabelPolarity.REAL_IS_ONE), [0.9, 0.1]
+    )
+
+
+def test_gallery_polarity_split(tmp_path):
+    """The fakes-first split honors LabelPolarity: under manipulated_is_one
+    (how the detector was trained, `train_logReg_swapping.py:62-92`) a
+    p=0.9 clip is a fake; under real_is_one it's a real."""
+    from xai_audio_deepfakes_tpu.serve.viewer import build_gallery
+
+    results = [
+        {
+            "source": f"clip{i}.wav",
+            "original_audio": "a.wav",
+            "reconstructed_audio": "b.wav",
+            "pred_original": p,
+            "pred_reconstructed_mask": 0.4,
+            "pred_reconstructed_1mask": 0.6,
+        }
+        for i, p in enumerate([0.9, 0.1])
+    ]
+    idx_m = build_gallery(results, str(tmp_path / "m"), polarity="manipulated_is_one")
+    first_page = open(tmp_path / "m" / "page_0.html").read()
+    assert "clip0.wav" in first_page and "clip1.wav" not in first_page
+    assert "fake page 1" in first_page
+    idx_r = build_gallery(results, str(tmp_path / "r"), polarity="real_is_one")
+    first_page = open(tmp_path / "r" / "page_0.html").read()
+    assert "clip1.wav" in first_page and "clip0.wav" not in first_page
+
+
+def test_cli_rejects_int8_for_gradient_commands(tmp_path):
+    """--quant int8 has zero gradient (jnp.round); train/attrib must refuse it
+    instead of silently training/attributing through a constant."""
+    from xai_audio_deepfakes_tpu.cli.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["train", "--quant", "int8", "--metadata", str(tmp_path)])
+    assert exc.value.code == 2
+    with pytest.raises(SystemExit) as exc:
+        main(["attrib", "--quant", "int8", "--metadata", str(tmp_path)])
+    assert exc.value.code == 2
+
+
+def test_cli_embed_features_png(monkeypatch, capsys, tmp_path, rng):
+    """`cli embed --features-png` writes embeddings.npz + the plot_features
+    counterpart (features.png) over a tiny pipeline."""
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+    from xai_audio_deepfakes_tpu.data.io import write_wav
+
+    pipe = ADDvisorPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: (pipe, params))
+    for i in range(2):
+        write_wav(
+            str(tmp_path / f"c{i}.wav"),
+            rng.uniform(-0.3, 0.3, pipe.cfg.audio.num_samples).astype(np.float32),
+            16000,
+        )
+    meta = tmp_path / "meta.txt"
+    meta.write_text("".join(f"{tmp_path}/c{i}.wav\n" for i in range(2)))
+    rc = cli.main(
+        ["embed", "--metadata", str(meta), "--out", str(tmp_path / "out"),
+         "--batch-size", "2", "--features-png"]
+    )
+    assert rc is None or rc == 0
+    assert os.path.exists(tmp_path / "out" / "embeddings.npz")
+    assert os.path.exists(tmp_path / "out" / "features.png")
+    data = np.load(tmp_path / "out" / "embeddings.npz")
+    assert data["features"].shape[0] == 2

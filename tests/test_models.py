@@ -172,3 +172,100 @@ def test_hifigan_upsampling_and_import(rng):
     assert ref_shapes == got_shapes
     wav2 = gen.apply(imported, mel)
     assert np.all(np.isfinite(np.asarray(wav2)))
+
+
+def _torch_ref_unet():
+    """Spec re-implementation of the reference UNet (`addvisor.py:12-84`) for
+    checkpoint-import parity: same module names, so its state_dict has the
+    exact key layout of the reference's trained `.pth` checkpoints."""
+    import torch.nn as tnn
+
+    class ConvBlock(tnn.Module):
+        # the reference nests the Sequential under `.block`
+        # (`addvisor.py:12-25`), so checkpoint keys are e.g. e1.block.0.weight
+        def __init__(self, cin, cout, k=(3, 3), s=(1, 1), p=(1, 1)):
+            super().__init__()
+            self.block = tnn.Sequential(
+                tnn.Conv2d(cin, cout, k, stride=s, padding=p),
+                tnn.BatchNorm2d(cout),
+                tnn.LeakyReLU(0.2),
+                tnn.Conv2d(cout, cout, 3, padding=1),
+                tnn.BatchNorm2d(cout),
+                tnn.LeakyReLU(0.2),
+            )
+
+        def forward(self, x):
+            return self.block(x)
+
+    block = ConvBlock
+
+    class Ref(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.e1 = block(1, 32, (5, 3), (2, 1), (2, 1))
+            self.e2 = block(32, 64, (5, 3), (2, 1), (2, 1))
+            self.e3 = block(64, 128, s=(2, 2))
+            self.e4 = block(128, 256, s=(2, 2))
+            self.bottleneck = tnn.Sequential(
+                tnn.Conv2d(256, 512, 3, padding=2, dilation=2),
+                tnn.BatchNorm2d(512),
+                tnn.LeakyReLU(0.2),
+                tnn.Conv2d(512, 512, 3, padding=4, dilation=4),
+                tnn.BatchNorm2d(512),
+                tnn.LeakyReLU(0.2),
+            )
+            self.up4 = tnn.ConvTranspose2d(512, 256, (2, 2), stride=(2, 2))
+            self.d4 = block(384, 256)
+            self.up3 = tnn.ConvTranspose2d(256, 128, (2, 2), stride=(2, 2))
+            self.d3 = block(192, 128)
+            self.up2 = tnn.ConvTranspose2d(128, 64, (2, 1), stride=(2, 1))
+            self.d2 = block(96, 64)
+            self.up1 = tnn.ConvTranspose2d(64, 32, (2, 1), stride=(2, 1))
+            self.d1 = block(33, 32)
+            self.mask_head = tnn.Sequential(tnn.Conv2d(32, 1, 1), tnn.Sigmoid())
+
+        def forward(self, x):
+            x1 = self.e1(x)
+            x2 = self.e2(x1)
+            x3 = self.e3(x2)
+            x4 = self.e4(x3)
+            b = self.bottleneck(x4)
+            y = self.d4(torch.cat([self.up4(b), x3], dim=1))
+            y = self.d3(torch.cat([self.up3(y), x2], dim=1))
+            y = self.d2(torch.cat([self.up2(y), x1], dim=1))
+            y = self.d1(torch.cat([self.up1(y), x], dim=1))
+            return self.mask_head(y)
+
+    return Ref()
+
+
+def test_unet_torch_checkpoint_import_parity(rng):
+    """Full-geometry (512x248) output parity between a torch reference UNet
+    with random weights+running stats and our flax UNet loaded via
+    `unet.params_from_torch_state_dict` — the recipe that makes reference-
+    trained `.pth` decoders (`LMAC_metrics.py:21`) portable."""
+    from xai_audio_deepfakes_tpu.models.unet import (
+        params_from_torch_state_dict as unet_from_torch,
+    )
+
+    torch.manual_seed(0)
+    ref = _torch_ref_unet()
+    # randomize BN running stats so parity proves the stats mapping too
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.6, 1.4)
+    ref.eval()
+
+    mag = rng.uniform(size=(2, 512, 248)).astype(np.float32) * 3.0
+    with torch.no_grad():
+        ref_mask = ref(torch.from_numpy(mag[:, None])).numpy()[:, 0]
+
+    # DDP prefix handling in the same pass
+    sd = {"module." + k: v for k, v in ref.state_dict().items()}
+    variables = unet_from_torch(sd)
+    model = UNetMaskDecoder(UNetConfig())
+    ours = np.asarray(model.apply(variables, jnp.asarray(mag)))
+    assert ours.shape == ref_mask.shape
+    np.testing.assert_allclose(ours, ref_mask, atol=1e-4)

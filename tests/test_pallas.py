@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xai_audio_deepfakes_tpu.config import STFTConfig
 from xai_audio_deepfakes_tpu.ops.pallas_stft import istft_pallas, stft_pallas
@@ -187,3 +188,73 @@ def test_encoder_layer_fused_attention_cpu_fallback(rng):
     out_on = Wav2Vec2Encoder(cfg_on).apply(params, wav)
     out_off = Wav2Vec2Encoder(cfg_off).apply(params, wav)
     np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off), atol=0.0)
+
+
+# fused conv frontend (ops/pallas_conv.py)
+
+
+def _conv_args(rng, k, cin=128, cout=128):
+    kern = (rng.standard_normal((k, cin, cout)).astype(np.float32) * 0.05)
+    bias = rng.standard_normal((cout,)).astype(np.float32) * 0.1
+    g = 1.0 + rng.standard_normal((cout,)).astype(np.float32) * 0.1
+    lb = rng.standard_normal((cout,)).astype(np.float32) * 0.1
+    return kern, bias, g, lb
+
+
+@pytest.mark.parametrize("k,l", [(3, 515), (3, 512), (2, 500), (2, 77), (3, 37)])
+def test_conv_ln_gelu_pallas_matches_reference(rng, k, l):
+    """Fused conv+LN+GELU (interpret) == XLA reference formulation, odd/even
+    lengths incl. the trailing-sample edge case for k=3."""
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.ops.pallas_conv import (
+        conv_ln_gelu_reference,
+        _conv_ln_gelu_pallas,
+    )
+
+    kern, bias, g, lb = _conv_args(rng, k)
+    x = rng.standard_normal((2, l, 128)).astype(np.float32)
+    args = map(jnp.asarray, (x, kern, bias, g, lb))
+    ref = conv_ln_gelu_reference(
+        jnp.asarray(x), jnp.asarray(kern), jnp.asarray(bias), jnp.asarray(g),
+        jnp.asarray(lb), stride=2, eps=1e-5, gelu="exact", dtype=jnp.float32,
+    )
+    out = _conv_ln_gelu_pallas(
+        jnp.asarray(x), jnp.asarray(kern), jnp.asarray(bias), jnp.asarray(g),
+        jnp.asarray(lb), stride=2, eps=1e-5, gelu="exact",
+        dtype=jnp.float32, interpret=True, block_t=64,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_conv_ln_gelu_vjp_matches_autograd(rng):
+    """Recompute VJP == autograd through the reference formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.ops.pallas_conv import (
+        conv_ln_gelu,
+        conv_ln_gelu_reference,
+    )
+
+    kern, bias, g, lb = _conv_args(rng, 3)
+    x = rng.standard_normal((1, 131, 128)).astype(np.float32)
+
+    def f_fused(x, kern, bias, g, lb):
+        return jnp.sum(
+            conv_ln_gelu(x, kern, bias, g, lb, 2, 1e-5, "exact",
+                         jnp.float32, True) ** 2
+        )
+
+    def f_ref(x, kern, bias, g, lb):
+        return jnp.sum(
+            conv_ln_gelu_reference(x, kern, bias, g, lb, stride=2, eps=1e-5,
+                                   gelu="exact", dtype=jnp.float32) ** 2
+        )
+
+    args = tuple(map(jnp.asarray, (x, kern, bias, g, lb)))
+    gf = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -157,3 +157,24 @@ def test_load_audio_bytes_resamples():
     assert sr == 16000 and out.shape == (80000,)
     assert np.abs(out[:16000]).mean() > 0.01  # first second has signal
     assert np.abs(out[40000:]).max() == 0.0   # zero-padded tail
+
+
+def test_http_request_size_cap(http_server, monkeypatch):
+    """POST bodies over MAX_REQUEST_BYTES are rejected with 413 before being
+    buffered (serve/api.py do_POST guard)."""
+    from xai_audio_deepfakes_tpu.serve import api
+
+    server, svc, pipe = http_server
+    port = server.server_address[1]
+    monkeypatch.setattr(api, "MAX_REQUEST_BYTES", 1000)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/explain", data=_wav_bytes(pipe),
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 413
+    # normal-size requests still work after restoring the cap
+    monkeypatch.setattr(api, "MAX_REQUEST_BYTES", 32 * 1024 * 1024)
+    with urllib.request.urlopen(req) as r:
+        assert 0.0 <= json.loads(r.read())["pred_original"] <= 1.0

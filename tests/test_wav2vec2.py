@@ -243,3 +243,60 @@ def test_tanh_gelu_encoder_close_to_exact(rng):
     assert cos > 0.9999, cos
     rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
     assert rel < 0.01, rel
+
+
+@pytest.mark.slow
+def test_full_width_hidden_states_parity(rng):
+    """Parity at the REAL XLS-R-2B width — hidden 1920, 16 heads, head_dim
+    120 (the very dimension the HeadDense 120->128 padding exists for,
+    `classifier_embedder.py:13-16`) — on a 2-layer truncation vs HF, for
+    both the einsum path and the fused-attention (Pallas interpret) path.
+    Catches geometry-specific bugs the tiny config (head_dim 16) cannot."""
+    import dataclasses
+
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    # output_layer < num_layers mirrors production semantics: hidden_states[9]
+    # of a deeper truncation is NOT final-LN'd, and HF final-LN's only the
+    # LAST hidden_states entry of a stable-layer-norm model
+    full2 = dataclasses.replace(
+        EmbedderConfig(), num_layers=2, output_layer=1
+    )
+    torch.manual_seed(0)
+    hf_cfg = Wav2Vec2Config(
+        hidden_size=full2.hidden_size,
+        num_hidden_layers=full2.num_layers,
+        num_attention_heads=full2.num_heads,
+        intermediate_size=full2.intermediate_size,
+        conv_dim=list(full2.conv_dim),
+        conv_kernel=list(full2.conv_kernel),
+        conv_stride=list(full2.conv_stride),
+        num_conv_pos_embeddings=full2.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=full2.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        conv_bias=True,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+    )
+    hf = Wav2Vec2Model(hf_cfg)
+    hf.eval()
+    wav = rng.standard_normal((1, 4000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = hf(
+            torch.from_numpy(wav), output_hidden_states=True
+        ).hidden_states[full2.output_layer].numpy()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    params = params_from_hf_state_dict(sd, full2)
+    ours = np.asarray(Wav2Vec2Encoder(full2).apply(params, jnp.asarray(wav)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+    fused_cfg = dataclasses.replace(full2, fused_interpret=True)
+    fused = np.asarray(
+        Wav2Vec2Encoder(fused_cfg).apply(params, jnp.asarray(wav))
+    )
+    np.testing.assert_allclose(fused, ref, atol=5e-4)

@@ -53,6 +53,15 @@ def _build_pipeline(args):
         from xai_audio_deepfakes_tpu.train.checkpoints import restore_checkpoint
 
         params["unet"] = restore_checkpoint(args.checkpoint, params["unet"])
+    if getattr(args, "unet_pth", ""):
+        import torch
+
+        from xai_audio_deepfakes_tpu.models.unet import (
+            params_from_torch_state_dict as unet_from_torch,
+        )
+
+        sd = torch.load(args.unet_pth, map_location="cpu")
+        params["unet"] = unet_from_torch(sd)
     return pipe, params
 
 
@@ -98,6 +107,12 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--embedder-dir", default="", help="local HF checkpoint dir")
     p.add_argument("--logreg-joblib", default="", help="sklearn joblib checkpoint")
     p.add_argument("--checkpoint", default="", help="orbax UNet checkpoint dir")
+    p.add_argument(
+        "--unet-pth", default="",
+        help="reference-trained torch .pth UNet decoder "
+             "(`addvisor.py` format, e.g. addvisor_epoch_89_loss_0.0177.pth; "
+             "DDP 'module.' prefixes handled)",
+    )
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--out", default="artifacts")
 
@@ -208,7 +223,7 @@ def cmd_explain(args):
                 "pred_reconstructed_1mask": float(out.probs_irrelevant[0, 0]),
             }
         )
-    index = build_gallery(results, args.out)
+    index = build_gallery(results, args.out, polarity=pipe.cfg.polarity.value)
     print(json.dumps({"explained": len(results), "gallery": index}))
 
 
@@ -362,12 +377,22 @@ def cmd_embed(args):
         feats = pipe.features(params, wavs)
         pooled = jnp.mean(feats, axis=1)
         logits, probs = pipe.classify_features(params, feats)
-        return pooled, logits, probs
+        return feats, pooled, logits, probs
 
     feats_all, probs_all, names = [], [], []
     n = 0
     for wav in _batches(args, paths):
-        pooled, logits, probs = embed(jnp.asarray(wav))
+        feats, pooled, logits, probs = embed(jnp.asarray(wav))
+        if n == 0 and getattr(args, "features_png", False):
+            # feature-map visual dump (`train_addvisor.py:59-94` plot_features)
+            from xai_audio_deepfakes_tpu.train.artifacts import save_features_png
+
+            os.makedirs(args.out, exist_ok=True)
+            save_features_png(
+                np.asarray(feats[0]),
+                os.path.join(args.out, "features.png"),
+                title=os.path.basename(paths[0]),
+            )
         feats_all.append(np.asarray(pooled))
         probs_all.append(np.asarray(probs))
         names.extend(paths[n : n + wav.shape[0]])
@@ -584,6 +609,11 @@ def main(argv=None):
     p.add_argument("--metadata", required=True)
     p.add_argument("--root", default="")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument(
+        "--features-png", action="store_true",
+        help="dump the first clip's [T, H] feature map as features.png "
+             "(the reference's plot_features, train_addvisor.py:59-94)",
+    )
     p.set_defaults(fn=cmd_embed)
 
     p = sub.add_parser("vocode-datagen", help="HiFi-GAN vocoded band-splice wavs")
@@ -623,6 +653,18 @@ def main(argv=None):
     p.set_defaults(fn=cmd_serve_api)
 
     args = parser.parse_args(argv)
+    # int8 quantization is serving-only: jnp.round has zero gradient, so any
+    # subcommand that differentiates through the embedder (trainer loss,
+    # attribution maps) would silently produce garbage gradients.
+    if getattr(args, "quant", "none") != "none" and args.fn in (
+        cmd_train,
+        cmd_attrib,
+    ):
+        parser.error(
+            "--quant int8 is serving-only: quantized matmuls have zero "
+            "gradient, so train/attrib would silently differentiate through "
+            "a constant. Use --quant none for gradient-dependent commands."
+        )
     if args.platform:
         _force_platform(args.platform)
     return args.fn(args)

@@ -48,6 +48,21 @@ class LabelPolarity(str, enum.Enum):
     REAL_IS_ONE = "real_is_one"
 
 
+def manipulated_probability(prob, polarity: "LabelPolarity | str"):
+    """Map the detector's sigmoid output P(class 1) to P(manipulated).
+
+    The reference is internally inconsistent about this: the LogReg was
+    trained real=0/manipulated=1 (`train_logReg_swapping.py:62-92`), but the
+    UI text and its fakes-first split assume 1=real
+    (`streamlit_controlled_study.py:246-247,273`). Every decision in this
+    framework (gallery split, manipulated counts) goes through this single
+    mapping so the polarity knob actually changes behavior.
+    """
+    if LabelPolarity(polarity) is LabelPolarity.MANIPULATED_IS_ONE:
+        return prob
+    return 1.0 - prob
+
+
 @dataclass(frozen=True)
 class STFTConfig:
     """STFT convention of the reference (`audioprocessor.py:23-31,102-112`).
@@ -153,6 +168,14 @@ class EmbedderConfig:
     # activation scales and per-channel weight scales computed in-graph; the
     # param tree stays f32, so every weight-import path works unchanged.
     # Serving-only knob (quantization is not differentiated through).
+    fused_interpret: bool = False  # force the fused Pallas paths (attention
+    # + conv frontend) in interpret mode regardless of backend — CPU parity
+    # tests of the production kernels at real geometry.
+    fused_conv: bool = True  # Pallas fused conv+LN+GELU for the stride-2
+    # conv-frontend layers on TPU (one HBM read + one write per block
+    # instead of XLA's separate conv and LN/GELU kernels over the largest
+    # activations in the graph). CPU falls back to the identical XLA
+    # formulation. See ops/pallas_conv.py.
     fused_attention: bool = True  # Pallas fused attention on TPU (scores/
     # softmax never touch HBM; differentiable via recompute VJP). On CPU the
     # op falls back to the identical einsum formulation, so tests and the
@@ -161,8 +184,9 @@ class EmbedderConfig:
     # tanh approximation measures 2.25x faster on the v5e VPU (33.1 -> 14.7
     # ms/pass at serving shape) with max abs error 5e-4 — at bf16 rounding
     # level, and well under the int8 path's quantization noise. GELU is
-    # ~25% of serving time (conv frontend + 9 FFNs), so serving configs
-    # default to "tanh" via bench/CLI while model parity work keeps "exact".
+    # ~25% of serving time (conv frontend + 9 FFNs). Only bench.py defaults
+    # to "tanh" (recorded in its output JSON); the CLI default is "exact",
+    # so CLI serving output is always the HF-parity path unless overridden.
 
     @staticmethod
     def xls_r_2b_full() -> "EmbedderConfig":

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from xai_audio_deepfakes_tpu.attrib.methods import waveform_explanation
-from xai_audio_deepfakes_tpu.config import MaskingConvention
+from xai_audio_deepfakes_tpu.config import (
+    MaskingConvention,
+    manipulated_probability,
+)
 from xai_audio_deepfakes_tpu.metrics.lmac_metrics import (
     compute_faithfulness,
     compute_fidelity,
@@ -106,8 +109,16 @@ def run_attribution_metrics(
         "method": method,
         "faithfulness": float(jnp.mean(compute_faithfulness(clean_a, irr_a))),
         "fidelity": float(jnp.mean(compute_fidelity(rel_a, clean_a))),
-        # fixed vs `captum_saliency.py:204-210`: count over ALL files
-        "relevant_classified_manipulated": int(np.sum(np.asarray(rel_a)[:, 0] >= 0.5)),
+        # fixed vs `captum_saliency.py:204-210`: count over ALL files;
+        # "manipulated" decided under the pipeline's configured polarity
+        "relevant_classified_manipulated": int(
+            np.sum(
+                manipulated_probability(
+                    np.asarray(rel_a)[:, 0], pipe.cfg.polarity
+                )
+                >= 0.5
+            )
+        ),
         "num_clips": int(clean_a.shape[0]),
     }
     if log_fn is not None:

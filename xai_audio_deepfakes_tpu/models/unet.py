@@ -104,3 +104,82 @@ class UNetMaskDecoder(nn.Module):
         y = nn.Conv(1, (1, 1), dtype=dt, name="mask_head")(y)
         mask = jax.nn.sigmoid(y.astype(jnp.float32))
         return mask[..., 0]  # [B, 512, 248]
+
+
+def params_from_torch_state_dict(sd: dict) -> dict:
+    """Map a reference UNet state_dict (`addvisor.py:27-84`, the format of the
+    trained checkpoints named at `LMAC_metrics.py:21` /
+    `streamlit_controlled_study.py:32`) onto this module's variables.
+
+    Accepts numpy arrays or torch tensors; DDP-saved dicts with a "module."
+    prefix are handled (the reference strips it at `LMAC_metrics.py:23-25`).
+
+    Weight layout conversions (verified against torch in tests):
+      Conv2d          [out, in, kh, kw] -> flax [kh, kw, in, out]
+      ConvTranspose2d [in, out, kh, kw] -> flax(transpose_kernel=False)
+                      [kh, kw, in, out] with BOTH spatial axes flipped
+      BatchNorm2d     weight/bias -> scale/bias; running stats -> batch_stats
+    Returns {"params": ..., "batch_stats": ...} ready for `.apply`.
+    """
+    import numpy as np
+
+    def arr(key):
+        v = sd.get(key, sd.get("module." + key))
+        if v is None:
+            raise KeyError(f"missing key in UNet state dict: {key}")
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    def conv(prefix):
+        return {
+            "kernel": jnp.asarray(arr(f"{prefix}.weight").transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(arr(f"{prefix}.bias")),
+        }
+
+    def tconv(prefix):
+        w = arr(f"{prefix}.weight").transpose(2, 3, 0, 1)[::-1, ::-1]
+        return {
+            "kernel": jnp.asarray(np.ascontiguousarray(w)),
+            "bias": jnp.asarray(arr(f"{prefix}.bias")),
+        }
+
+    def bn(prefix):
+        p = {
+            "scale": jnp.asarray(arr(f"{prefix}.weight")),
+            "bias": jnp.asarray(arr(f"{prefix}.bias")),
+        }
+        s = {
+            "mean": jnp.asarray(arr(f"{prefix}.running_mean")),
+            "var": jnp.asarray(arr(f"{prefix}.running_var")),
+        }
+        return p, s
+
+    params: dict = {}
+    stats: dict = {}
+
+    def convblock(name, prefix):
+        # torch ConvBlock Sequential: 0 conv, 1 bn, 3 conv, 4 bn
+        bn1_p, bn1_s = bn(f"{prefix}.block.1")
+        bn2_p, bn2_s = bn(f"{prefix}.block.4")
+        params[name] = {
+            "conv1": conv(f"{prefix}.block.0"),
+            "bn1": bn1_p,
+            "conv2": conv(f"{prefix}.block.3"),
+            "bn2": bn2_p,
+        }
+        stats[name] = {"bn1": bn1_s, "bn2": bn2_s}
+
+    for i in (1, 2, 3, 4):
+        convblock(f"e{i}", f"e{i}")
+        convblock(f"d{i}", f"d{i}")
+    for flax_name, t_idx in (("bneck_conv1", 0), ("bneck_conv2", 3)):
+        params[flax_name] = conv(f"bottleneck.{t_idx}")
+    for flax_name, t_idx in (("bneck_bn1", 1), ("bneck_bn2", 4)):
+        p, s = bn(f"bottleneck.{t_idx}")
+        params[flax_name] = p
+        stats[flax_name] = s
+    for i in (1, 2, 3, 4):
+        params[f"up{i}"] = tconv(f"up{i}")
+    params["mask_head"] = conv("mask_head.0")
+    return {"params": params, "batch_stats": stats}

@@ -76,6 +76,45 @@ class _LNf32Stats(nn.Module):
         return (xc * jax.lax.rsqrt(var + self.eps) * scale + bias).astype(self.dtype)
 
 
+class _ConvParams(nn.Module):
+    """Param holder with nn.Conv's exact tree (kernel [k, Cin, Cout] f32,
+    bias [Cout] f32, same initializers) for the fused-conv path — HF imports
+    and checkpoints see no difference between the fused and XLA branches."""
+
+    k: int
+    cin: int
+    cout: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.k, self.cin, self.cout),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.cout,), jnp.float32)
+            if self.use_bias
+            else jnp.zeros((self.cout,), jnp.float32)
+        )
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Param holder matching _LNf32Stats' tree (scale/bias [C] f32)."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.c,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.c,), jnp.float32),
+        )
+
+
 class ConvLayerNormBlock(nn.Module):
     """conv1d -> LayerNorm(channel) -> exact GELU (HF Wav2Vec2LayerNormConvLayer)."""
 
@@ -86,6 +125,8 @@ class ConvLayerNormBlock(nn.Module):
     eps: float
     dtype: Any
     gelu: str = "exact"
+    fused: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B, L, C]
@@ -94,6 +135,29 @@ class ConvLayerNormBlock(nn.Module):
         # accumulator temps double activation HBM (measured: batch-128
         # serving goes 15.7G -> 17.6G, OOM), and conv FLOPs concentrate in
         # exactly those layers — int8 convs lose on this geometry.
+        from xai_audio_deepfakes_tpu.ops.pallas_conv import (
+            conv_ln_gelu,
+            supports_fused_conv,
+        )
+
+        use_fused = (
+            self.fused
+            and supports_fused_conv(
+                self.kernel, self.stride, x.shape[-1], self.features
+            )
+            and (jax.default_backend() == "tpu" or self.fused_interpret)
+        )
+        if use_fused:
+            kernel, cbias = _ConvParams(
+                self.kernel, x.shape[-1], self.features, self.use_bias,
+                name="conv",
+            )()
+            scale, lbias = _LNParams(self.features, name="layer_norm")()
+            return conv_ln_gelu(
+                x, kernel, cbias, scale, lbias,
+                self.stride, self.eps, self.gelu, self.dtype,
+                self.fused_interpret,
+            )
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel,),
@@ -124,6 +188,8 @@ class FeatureEncoder(nn.Module):
                 eps=self.cfg.layer_norm_eps,
                 dtype=_dtype(self.cfg),
                 gelu=self.cfg.gelu,
+                fused=self.cfg.fused_conv,
+                fused_interpret=self.cfg.fused_interpret,
                 name=f"conv_{i}",
             )(x)
         return x
@@ -284,7 +350,9 @@ class EncoderLayer(nn.Module):
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(x)
         # fused attention needs the head-padded projections; only worth it on
         # TPU (the kernel), elsewhere the einsum path below is XLA-optimal
-        use_fused = cfg.fused_attention and jax.default_backend() == "tpu"
+        use_fused = (
+            cfg.fused_attention and jax.default_backend() == "tpu"
+        ) or cfg.fused_interpret
         if use_fused:
             from xai_audio_deepfakes_tpu.ops.attention import attention, head_pad_dim
 
@@ -307,7 +375,7 @@ class EncoderLayer(nn.Module):
                 q = proj("q_proj")(y) * (hd**-0.5)
                 k = proj("k_proj")(y)
                 v = proj("v_proj")(y)
-            ctx = attention(q, k, v, nh)  # [B, T, NH*HDP]
+            ctx = attention(q, k, v, nh, interpret=cfg.fused_interpret)  # [B, T, NH*HDP]
             x = residual + proj("out_proj", pad_axis=0)(ctx)
         else:
             if cfg.quant == "int8":

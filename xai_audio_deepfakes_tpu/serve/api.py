@@ -38,6 +38,10 @@ from typing import Any
 
 import numpy as np
 
+# Upper bound on a single POST body (see do_POST): keeps one malicious or
+# accidental multi-GB upload from being buffered into RAM.
+MAX_REQUEST_BYTES = 32 * 1024 * 1024
+
 
 @dataclass
 class _Request:
@@ -218,6 +222,18 @@ def make_handler(service: ExplainService):
             want_audio = "audio=0" not in query
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                # a clip is <=160 KB of 16-bit PCM at the 5 s contract; 32 MiB
+                # comfortably covers any sane container/rate without letting a
+                # single POST buffer gigabytes in RAM
+                if length > MAX_REQUEST_BYTES:
+                    self._json(
+                        413,
+                        {
+                            "error": "payload too large: "
+                            f"{length} > {MAX_REQUEST_BYTES} bytes"
+                        },
+                    )
+                    return
                 raw = self.rfile.read(length)
                 wav, _ = load_audio_bytes(raw, target_sr=sr, clip_seconds=clip_s)
             except Exception as e:

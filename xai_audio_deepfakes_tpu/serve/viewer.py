@@ -20,7 +20,8 @@ import os
 import numpy as np
 
 
-def _item_html(item: dict) -> str:
+def _item_html(item: dict, polarity_note: str = "") -> str:
+    polarity_note = html.escape(polarity_note)
     imgs = "".join(
         f'<figure><img src="{html.escape(item[k])}" loading="lazy">'
         f"<figcaption>{cap}</figcaption></figure>"
@@ -41,8 +42,7 @@ def _item_html(item: dict) -> str:
     <div><b>Reconstructed audio</b><br><audio controls src="{html.escape(item["reconstructed_audio"])}"></audio></div>
   </div>
   <div class="img-row">{imgs}</div>
-  <p><b>Predictions</b> (0 = manipulated under the detector's training
-     polarity; see config.LabelPolarity) —
+  <p><b>Predictions</b> (P(class 1); {polarity_note}) —
      original: {item["pred_original"]:.4f},
      reconstructed: {item["pred_reconstructed_mask"]:.4f},
      1-mask: {item["pred_reconstructed_1mask"]:.4f}</p>
@@ -78,10 +78,24 @@ def build_gallery(
     """results: list of dicts with artifact-relative paths and predictions
     (see `pipeline_to_artifacts` in cli). Writes index.html + page_*.html,
     fakes first then reals (reference pagination, `streamlit...py:246-258`).
-    Returns the index path."""
+    The fake/real split honors `polarity` (config.LabelPolarity): the
+    reference UI hardcodes p<0.5 == fake, which contradicts how its detector
+    was trained (see `config.manipulated_probability`). Returns the index
+    path."""
+    from xai_audio_deepfakes_tpu.config import manipulated_probability
+
     os.makedirs(out_dir, exist_ok=True)
-    fakes = [r for r in results if r["pred_original"] < 0.5]
-    reals = [r for r in results if r["pred_original"] >= 0.5]
+    fakes = [
+        r for r in results
+        if manipulated_probability(r["pred_original"], polarity) >= 0.5
+    ]
+    reals = [
+        r for r in results
+        if manipulated_probability(r["pred_original"], polarity) < 0.5
+    ]
+    polarity_note = (
+        "1 = manipulated" if polarity == "manipulated_is_one" else "1 = real"
+    )
     pages: list[tuple[str, list]] = []
     for label, group in (("fake", fakes), ("real", reals)):
         for i in range(0, max(len(group), 1), items_per_page):
@@ -96,7 +110,9 @@ def build_gallery(
     index_path = os.path.join(out_dir, "index.html")
     for i, (name, chunk) in enumerate(pages):
         body = _PAGE.format(
-            nav=nav, items="".join(_item_html(it) for it in chunk), polarity=polarity
+            nav=nav,
+            items="".join(_item_html(it, polarity_note) for it in chunk),
+            polarity=polarity,
         )
         with open(os.path.join(out_dir, f"page_{i}.html"), "w") as f:
             f.write(body)
@@ -104,7 +120,7 @@ def build_gallery(
         f.write(
             _PAGE.format(
                 nav=nav,
-                items="".join(_item_html(it) for it in pages[0][1]),
+                items="".join(_item_html(it, polarity_note) for it in pages[0][1]),
                 polarity=polarity,
             )
         )

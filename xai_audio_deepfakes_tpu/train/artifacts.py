@@ -67,3 +67,34 @@ def save_spectrogram_png(
     fig.savefig(path, format="png", bbox_inches="tight", dpi=100)
     plt.close(fig)
     return path
+
+
+def save_features_png(
+    features: np.ndarray, path: str, title: str = "SSL features"
+) -> str:
+    """Feature-map dump (`train_addvisor.py:59-94` plot_features): [T, H] (or
+    [B, T, H] — first item) rendered feature-dim x time, reversed viridis,
+    min/max in the title."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    features = np.asarray(features)
+    if features.ndim == 3:
+        features = features[0]
+    data = features.T  # [H, T]
+    f_min, f_max = float(data.min()), float(data.max())
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig, ax = plt.subplots(figsize=(12, 6))
+    im = ax.imshow(
+        data, aspect="auto", origin="lower", cmap="viridis_r",
+        vmin=f_min, vmax=f_max,
+    )
+    ax.set_title(f"{title} (Min: {f_min:.2f}, Max: {f_max:.2f})")
+    ax.set_ylabel("Feature Dimension")
+    ax.set_xlabel("Time Frame")
+    fig.colorbar(im, ax=ax, label="Feature Value")
+    fig.savefig(path, format="png", bbox_inches="tight", dpi=100)
+    plt.close(fig)
+    return path
