@@ -44,8 +44,11 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     # BENCH_GELU=exact measure the conservative paths.
     quant = os.environ.get("BENCH_QUANT", "int8")
     gelu = os.environ.get("BENCH_GELU", "tanh")
+    fused_conv = os.environ.get("BENCH_FUSED_CONV", "1") == "1"
     cfg = PipelineConfig(
-        embedder=EmbedderConfig(dtype="bfloat16", quant=quant, gelu=gelu),
+        embedder=EmbedderConfig(
+            dtype="bfloat16", quant=quant, gelu=gelu, fused_conv=fused_conv
+        ),
         unet=UNetConfig(dtype="bfloat16"),
     )
     pipe = ADDvisorPipeline(cfg)
@@ -91,6 +94,7 @@ def main(batch: int | None = None, iters: int = 10) -> None:
                 "batch": batch,
                 "quant": quant,
                 "gelu": gelu,
+                "fused_conv": fused_conv,
                 "device": str(jax.devices()[0]),
             }
         )

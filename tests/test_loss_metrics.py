@@ -166,3 +166,29 @@ def test_eer_tied_scores_matches_sklearn(rng):
 def test_eer_extremes():
     assert compute_eer(np.array([1, 2, 3, 4.0]), np.array([0, 0, 1, 1])) == 0.0
     assert compute_eer(np.array([4, 3, 2, 1.0]), np.array([0, 0, 1, 1])) == 1.0
+
+
+def test_summarize_sums_fold_matches_summarize(rng):
+    """Streaming (sum, count) partials folded over batches == the one-shot
+    summarize over the concatenation (the eval sweep's O(1)-memory path)."""
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.metrics.lmac_metrics import (
+        merge_summaries,
+        summarize,
+        summarize_sums,
+    )
+
+    batches = [
+        tuple(
+            jnp.asarray(rng.uniform(0.01, 0.99, (n, 1)).astype(np.float32))
+            for _ in range(3)
+        )
+        for n in (3, 5, 2)
+    ]
+    folded = merge_summaries([summarize_sums(*b) for b in batches])
+    cat = [jnp.concatenate([b[i] for b in batches]) for i in range(3)]
+    ref = {k: float(v) for k, v in summarize(*cat).items()}
+    assert folded["num_clips"] == 10
+    for k, v in ref.items():
+        np.testing.assert_allclose(folded[k], v, rtol=1e-5)

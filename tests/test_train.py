@@ -220,3 +220,12 @@ def test_nan_guard(setup):
     bad = wav[:2].at[0, 0].set(jnp.nan)
     with pytest.raises(FloatingPointError):
         train_addvisor(pipe, params, batches=lambda: [bad], num_epochs=1)
+
+
+def test_graft_dryrun_multichip_inprocess():
+    """The driver-checked entry point: with >= n visible devices it runs
+    in-process (the subprocess bootstrap path is exercised by running
+    `python __graft_entry__.py` under a live single-chip backend)."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

@@ -35,6 +35,7 @@ def _build_pipeline(args):
         embedder=EmbedderConfig(
             dtype=args.dtype,
             scan_layers=getattr(args, "scan_layers", False),
+            remat=getattr(args, "remat", False),
             quant=getattr(args, "quant", "none"),
             gelu=getattr(args, "gelu", "exact"),
         ),
@@ -93,6 +94,11 @@ def _common(p: argparse.ArgumentParser):
         "--scan-layers", action="store_true",
         help="lax.scan over embedder layers (much faster XLA compiles; "
              "identical numerics; stacked param layout)",
+    )
+    p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize embedder layers — required headroom for "
+             "full-geometry training (3 fwd + 2 bwd per step) on 16 GB HBM",
     )
     p.add_argument(
         "--quant", default="none", choices=["none", "int8"],

@@ -32,7 +32,8 @@ from xai_audio_deepfakes_tpu.config import (
 from xai_audio_deepfakes_tpu.metrics.lmac_metrics import (
     compute_faithfulness,
     compute_fidelity,
-    summarize,
+    merge_summaries,
+    summarize_sums,
 )
 from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
@@ -58,17 +59,16 @@ def run_explanation_metrics(
         )
     else:
         explain = pipe.jit_explain(decoder=decoder, masking=masking)
-    clean, rel, irr = [], [], []
+    fold = jax.jit(summarize_sums)
+    # O(1) eval memory in clips: each batch reduces to a [5]-sum + count on
+    # device; only those scalars ever reach the host (the reference
+    # concatenates every probability, `LMAC_metrics.py:160-172`)
+    partials = []
     for wav in batches:
         out = explain(params, jnp.asarray(wav))
-        clean.append(np.asarray(out.probs_clean))
-        rel.append(np.asarray(out.probs_relevant))
-        irr.append(np.asarray(out.probs_irrelevant))
-    clean_a = jnp.asarray(np.concatenate(clean))
-    rel_a = jnp.asarray(np.concatenate(rel))
-    irr_a = jnp.asarray(np.concatenate(irr))
-    result = {k: float(v) for k, v in summarize(clean_a, rel_a, irr_a).items()}
-    result["num_clips"] = int(clean_a.shape[0])
+        sums, count = fold(out.probs_clean, out.probs_relevant, out.probs_irrelevant)
+        partials.append((np.asarray(sums), int(count)))
+    result = merge_summaries(partials)
     if log_fn is not None:
         log_fn({"explanation_metrics": result})
     return result

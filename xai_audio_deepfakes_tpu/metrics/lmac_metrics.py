@@ -1,8 +1,10 @@
 """Faithfulness metrics for mask explanations (`LMAC_metrics.py:28-73`).
 
-All functions are pure jnp over probability arrays [N, 1] (or [N]), designed
-to run batched under vmap/jit and to fold across a sharded eval sweep with a
-single psum — the reference computes them on concatenated host tensors.
+All functions are pure jnp over probability arrays [N, 1] (or [N]), batched
+under vmap/jit. Every metric is a per-clip mean, so a sweep folds exactly as
+(sum, count) partials — `summarize_sums` returns the device-side partial for
+one batch and `merge_summaries` folds them, keeping eval memory O(1) in the
+number of clips (the reference concatenates every probability on the host).
 
 Conventions preserved from the reference:
   * `get_score_for_predicted_class(p)` = p if p > 0.5 else 1-p
@@ -82,3 +84,37 @@ def summarize(
         "average_increase": jnp.mean(compute_AI(theta_out, predictions)),
         "average_gain": jnp.mean(compute_AG(theta_out, predictions)),
     }
+
+
+METRIC_KEYS = (
+    "faithfulness", "fidelity", "average_drop", "average_increase",
+    "average_gain",
+)
+
+
+def summarize_sums(
+    predictions: jnp.ndarray,
+    theta_out: jnp.ndarray,
+    masked_predictions: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One batch's device-side partial: (sums [5] in METRIC_KEYS order,
+    count). Jit-able; fold partials with `merge_summaries`."""
+    sums = jnp.stack(
+        [
+            jnp.sum(compute_faithfulness(predictions, masked_predictions)),
+            jnp.sum(compute_fidelity(theta_out, predictions)),
+            jnp.sum(compute_AD(theta_out, predictions)),
+            jnp.sum(compute_AI(theta_out, predictions)),
+            jnp.sum(compute_AG(theta_out, predictions)),
+        ]
+    )
+    return sums, jnp.asarray(_squeeze(predictions).shape[0], jnp.int32)
+
+
+def merge_summaries(partials) -> dict:
+    """[(sums, count), ...] -> the `summarize` dict + num_clips."""
+    total = sum(float(c) for _, c in partials)
+    acc = sum((jnp.asarray(s) for s, _ in partials))
+    out = {k: float(v) / max(total, 1.0) for k, v in zip(METRIC_KEYS, acc)}
+    out["num_clips"] = int(total)
+    return out

@@ -9,20 +9,26 @@ the serving graph ([3B, 16k, 512]), so those extra passes are pure HBM
 bandwidth. This kernel computes conv -> LN -> GELU per output tile entirely
 in VMEM: the activation is read once and written once.
 
-How the conv becomes tile-aligned matmuls (no im2col materialization —
-docs/performance.md measured XLA's conv lowering ~3x faster than an
-XLA-level im2col matmul, so the kernel must do better than that): for
-stride 2 the input is viewed as [B, L/2, 2C] (a free reshape: samples
-(2t, 2t+1) become the lane halves of row t). Then with taps W0..W{k-1}:
+Memory shape: the kernel reads the input in its NATURAL [B, L, C] layout.
+(A first version packed sample pairs into lanes, [B, L/2, 2C], to run the
+conv at exactly its FLOPs — but on TPU that reshape is a tiled-layout
+relayout, i.e. a full HBM copy of the largest activation in the graph:
+batch-128 serving went 15.7G -> 17.6G and OOM'd. Recorded as a negative
+result; the fix is to keep the layout and spend MXU instead of HBM.)
 
-  k=2:  y[t] = x[2t] W0 + x[2t+1] W1             = xr[t] @ concat(W0, W1)
-  k=3:  y[t] = xr[t] @ concat(W0, W1) + ev[t+1] @ W2
+In-kernel formulation ("full-phase" matmuls): with the input tile x_ext
+[2T+k-1, C] (2T rows + a halo fetched by a small second BlockSpec over the
+same array), compute per tap
 
-i.e. one (k=2) or two (k=3) MXU matmuls per tile at exactly the conv's
-FLOPs, with every operand a static lane/sublane slice. The k=3 halo row
-(ev[t+1] for the last row of a tile) comes from passing the SAME input array
-under a second BlockSpec shifted one block — no manual DMA, so Pallas'
-automatic double-buffering pipelines both streams.
+    m_k = x_ext @ W_k                  # [2T+2, Cout] on the MXU
+    c[r] = m_0[r] + m_1[r+1] + m_2[r+2]  (static sublane slices)
+    y[t] = c[2t]                       # stride-2 sublane select, in VMEM
+
+This does ~2x the conv's MXU FLOPs (odd phases are computed and dropped) —
+v5e has the MXU headroom (the conv stack is ~24 ms of MXU at peak), while
+HBM is the measured bottleneck; trading FLOPs for bandwidth is the right
+direction on this hardware. All slices are static; the only non-tile-aligned
+ops are VMEM-local.
 
 The epilogue applies channel LayerNorm with f32 statistics and GELU in the
 compute dtype — bit-identical formulation to `models/wav2vec2._LNf32Stats` +
@@ -45,11 +51,40 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|abs err| <= 1.5e-7 — below bf16
+    resolution): Mosaic has no erf/erfc lowering, only exp."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _tanh_exp(y):
+    """tanh from exp only (numerically stable via -2|y|)."""
+    e = jnp.exp(-2.0 * jnp.abs(y))
+    return jnp.sign(y) * (1.0 - e) / (1.0 + e)
+
+
+def _gelu_kernel(x, kind: str):
+    """GELU usable inside a Mosaic kernel (exp-only formulation of the same
+    math as models/wav2vec2._gelu). Computed in f32, cast by the caller."""
+    x32 = x.astype(jnp.float32)
+    if kind == "tanh":
+        inner = 0.7978845608028654 * (x32 + 0.044715 * x32 * x32 * x32)
+        return (0.5 * x32 * (1.0 + _tanh_exp(inner))).astype(x.dtype)
+    return (0.5 * x32 * (1.0 + _erf(x32 * 0.7071067811865476))).astype(x.dtype)
 
 
 def supports_fused_conv(kernel: int, stride: int, cin: int, cout: int) -> bool:
@@ -79,10 +114,36 @@ def conv_ln_gelu_reference(x, kernel, bias, ln_scale, ln_bias, *,
     return jax.nn.gelu(normed, approximate=(gelu == "tanh"))
 
 
-def _ln_gelu_epilogue(acc, b_ref, g_ref, lb_ref, out_ref, eps, gelu):
-    """f32 accumulator -> +bias -> channel LN (f32 stats) -> GELU -> out
-    (bit-identical formulation to models/wav2vec2._LNf32Stats + _gelu)."""
-    acc = acc + b_ref[...].astype(jnp.float32)
+def _kernel_body(xb_ref, xh_ref, w_ref, sel_ref, b_ref, g_ref, lb_ref,
+                 out_ref, *, k: int, t: int, l: int, eps: float, gelu: str):
+    # x_ext: 2T rows of this tile + the first rows of the halo block
+    x_ext = jnp.concatenate([xb_ref[0], xh_ref[0, : k - 1, :]], axis=0)
+    # full-phase taps: m_k[r] = x_ext[r] @ W_k, shifted-added into the
+    # stride-1 conv c, of which only even rows survive
+    c = None
+    for tap in range(k):
+        m = jnp.dot(
+            x_ext, w_ref[tap], preferred_element_type=jnp.float32
+        )  # [2T + k - 1, Cout]
+        sl = m[tap : tap + 2 * t]  # offset sublane slice (contiguous — ok)
+        c = sl if c is None else c + sl
+    # Edge blocks read past L: those rows hold unspecified bits (NaN in
+    # interpret). The select below is a MATMUL — 0 * NaN = NaN would poison
+    # every output row — so zero the invalid c rows first (`where` selects,
+    # it never multiplies).
+    row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    lim = l - k + 1 - 2 * t * pl.program_id(1)
+    c = jnp.where(row < lim, c, 0.0)
+    # even-row select via a one-hot [T, 2T] matmul: Mosaic rejects strided
+    # sublane slices (they lower to an unsupported gather), and one extra
+    # MXU pass (~17% of the tap MACs) is cheaper than any VPU relayout.
+    # Selecting in the compute dtype reproduces the unfused path's numerics
+    # exactly (the XLA conv emits its output in the compute dtype too).
+    dt = out_ref.dtype
+    acc = jnp.dot(
+        sel_ref[...], c.astype(dt), preferred_element_type=jnp.float32
+    ) + b_ref[...].astype(jnp.float32)  # [T, Cout]
+    # channel LayerNorm, f32 stats (models/wav2vec2._LNf32Stats) + GELU
     mu = jnp.mean(acc, axis=-1, keepdims=True)
     yc = acc - mu
     var = jnp.mean(yc * yc, axis=-1, keepdims=True)
@@ -90,24 +151,7 @@ def _ln_gelu_epilogue(acc, b_ref, g_ref, lb_ref, out_ref, eps, gelu):
         yc * jax.lax.rsqrt(var + eps) * g_ref[...].astype(jnp.float32)
         + lb_ref[...].astype(jnp.float32)
     ).astype(out_ref.dtype)
-    out_ref[0] = jax.nn.gelu(normed, approximate=(gelu == "tanh"))
-
-
-def _kernel_body_k2(xr_ref, w01_ref, b_ref, g_ref, lb_ref, out_ref, *,
-                    eps: float, gelu: str):
-    acc = jnp.dot(xr_ref[0], w01_ref[...], preferred_element_type=jnp.float32)
-    _ln_gelu_epilogue(acc, b_ref, g_ref, lb_ref, out_ref, eps, gelu)
-
-
-def _kernel_body_k3(xr_ref, xh_ref, w01_ref, w2_ref, b_ref, g_ref, lb_ref,
-                    out_ref, *, cin: int, eps: float, gelu: str):
-    xr = xr_ref[0]                      # [T, 2*Cin]
-    acc = jnp.dot(xr, w01_ref[...], preferred_element_type=jnp.float32)
-    # ev[t+1] for rows t..t+T-1: rows 1..T-1 of this block's even lanes
-    # plus the halo row (row T, fetched by the small shifted second spec)
-    ev1 = jnp.concatenate([xr[1:, :cin], xh_ref[0, :1, :]], axis=0)
-    acc = acc + jnp.dot(ev1, w2_ref[...], preferred_element_type=jnp.float32)
-    _ln_gelu_epilogue(acc, b_ref, g_ref, lb_ref, out_ref, eps, gelu)
+    out_ref[0] = _gelu_kernel(normed, gelu)
 
 
 @functools.partial(
@@ -141,64 +185,50 @@ def _conv_ln_gelu_pallas(x, kernel, bias, ln_scale, ln_bias, *,
     b, l = x.shape[0], x.shape[1]
     lout = (l - k) // stride + 1
 
-    # t multiple of 16 (bf16 sublane tile; also the k=3 halo-spec row unit)
+    # t multiple of 8 (f32 sublane tile; the halo spec's row unit is 16)
     t = block_t if lout > block_t else _round_up(lout, 16)
     nt = -(-lout // t)
 
-    # even/odd lane packing: samples (2u, 2u+1) become the lane halves of
-    # pair-row u (a free reshape — the memory layout is unchanged). Keep the
-    # trailing odd sample (it is ev[lout] for k=3) by padding x to even
-    # length first; then pad pair rows to one block past the grid so the
-    # k=3 shifted spec never reads out of range. Padded rows only influence
+    x = x.astype(dtype)
+    # No host-side reshape/pad of x: the input stays in its natural layout
+    # (any repack is a full HBM relayout copy of the graph's largest
+    # activation — measured OOM at serving batch, see module doc). Edge
+    # blocks whose rows run past L are clamped by Pallas; they only feed
     # output rows >= lout, cropped below.
-    l2 = (l + 1) // 2
-    need_pairs = (nt + 1) * t
-    xp = jnp.pad(x, ((0, 0), (0, 2 * l2 - l), (0, 0))).reshape(b, l2, 2 * cin)
-    if need_pairs > l2:
-        xp = jnp.pad(xp, ((0, 0), (0, need_pairs - l2), (0, 0)))
-
-    w01 = kernel[:2].reshape(2 * cin, cout).astype(dtype)  # concat(W0,W1) rows
+    w = kernel.astype(dtype)  # [k, Cin, Cout]
+    sel = (
+        jnp.zeros((t, 2 * t), dtype)
+        .at[jnp.arange(t), 2 * jnp.arange(t)]
+        .set(1)
+    )
     bias2 = (bias if bias is not None else jnp.zeros((cout,), jnp.float32))
     bias2 = bias2.reshape(1, cout).astype(jnp.float32)
     g = ln_scale.reshape(1, cout).astype(jnp.float32)
     lb = ln_bias.reshape(1, cout).astype(jnp.float32)
 
-    scalar_specs = [pl.BlockSpec((1, cout), lambda i, j: (0, 0))] * 3
-    if k == 2:
-        out = pl.pallas_call(
-            functools.partial(_kernel_body_k2, eps=eps, gelu=gelu),
-            out_shape=jax.ShapeDtypeStruct((b, nt * t, cout), dtype),
-            grid=(b, nt),
-            in_specs=[
-                pl.BlockSpec((1, t, 2 * cin), lambda i, j: (i, j, 0)),
-                pl.BlockSpec((2 * cin, cout), lambda i, j: (0, 0)),
-                *scalar_specs,
-            ],
-            out_specs=pl.BlockSpec((1, t, cout), lambda i, j: (i, j, 0)),
-            interpret=interpret,
-        )(xp, w01, bias2, g, lb)
-    else:
-        w2 = kernel[2].astype(dtype)
-        out = pl.pallas_call(
-            functools.partial(_kernel_body_k3, cin=cin, eps=eps, gelu=gelu),
-            out_shape=jax.ShapeDtypeStruct((b, nt * t, cout), dtype),
-            grid=(b, nt),
-            in_specs=[
-                pl.BlockSpec((1, t, 2 * cin), lambda i, j: (i, j, 0)),
-                # the same array again: a SMALL block (16 rows, even lanes
-                # only) whose first row is pair row (j+1)*t — the halo —
-                # so the halo costs ~16/t extra input traffic, not 2x
-                pl.BlockSpec(
-                    (1, 16, cin), lambda i, j: (i, (j + 1) * (t // 16), 0)
-                ),
-                pl.BlockSpec((2 * cin, cout), lambda i, j: (0, 0)),
-                pl.BlockSpec((cin, cout), lambda i, j: (0, 0)),
-                *scalar_specs,
-            ],
-            out_specs=pl.BlockSpec((1, t, cout), lambda i, j: (i, j, 0)),
-            interpret=interpret,
-        )(xp, xp, w01, w2, bias2, g, lb)
-    return out[:, :lout, :]
+    # out_shape is EXACTLY lout rows: Pallas masks edge-block writes past the
+    # array, and a post-hoc `out[:, :lout]` crop would be a full copy of the
+    # second-largest activation in the graph (measured RESOURCE_EXHAUSTED at
+    # serving batch).
+    out = pl.pallas_call(
+        functools.partial(_kernel_body, k=k, t=t, l=l, eps=eps, gelu=gelu),
+        out_shape=jax.ShapeDtypeStruct((b, lout, cout), dtype),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, 2 * t, cin), lambda i, j: (i, j, 0)),
+            # same array again: a SMALL block whose first rows are the
+            # halo samples 2(j+1)t .. — costs ~16/2t extra input traffic
+            pl.BlockSpec((1, 16, cin), lambda i, j: (i, (j + 1) * (2 * t // 16), 0)),
+            pl.BlockSpec((k, cin, cout), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((t, 2 * t), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, cout), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(x, x, w, sel, bias2, g, lb)
+    return out
 
 
 def _fwd(x, kernel, bias, ln_scale, ln_bias, stride, eps, gelu, dtype,
