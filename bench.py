@@ -44,7 +44,10 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     # BENCH_GELU=exact measure the conservative paths.
     quant = os.environ.get("BENCH_QUANT", "int8")
     gelu = os.environ.get("BENCH_GELU", "tanh")
-    fused_conv = os.environ.get("BENCH_FUSED_CONV", "1") == "1"
+    # fused conv default-off: the Pallas conv kernel is parity-verified but
+    # its serving graph over-allocates at batch 128 (FAILED_PRECONDITION);
+    # opt in with BENCH_FUSED_CONV=1 at smaller batches.
+    fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
     cfg = PipelineConfig(
         embedder=EmbedderConfig(
             dtype="bfloat16", quant=quant, gelu=gelu, fused_conv=fused_conv

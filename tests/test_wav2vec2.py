@@ -295,7 +295,9 @@ def test_full_width_hidden_states_parity(rng):
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=5e-4)
 
-    fused_cfg = dataclasses.replace(full2, fused_interpret=True)
+    fused_cfg = dataclasses.replace(
+        full2, fused_interpret=True, fused_conv=True
+    )
     fused = np.asarray(
         Wav2Vec2Encoder(fused_cfg).apply(params, jnp.asarray(wav))
     )

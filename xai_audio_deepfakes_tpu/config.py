@@ -171,11 +171,13 @@ class EmbedderConfig:
     fused_interpret: bool = False  # force the fused Pallas paths (attention
     # + conv frontend) in interpret mode regardless of backend — CPU parity
     # tests of the production kernels at real geometry.
-    fused_conv: bool = True  # Pallas fused conv+LN+GELU for the stride-2
+    fused_conv: bool = False  # Pallas fused conv+LN+GELU for the stride-2
     # conv-frontend layers on TPU (one HBM read + one write per block
     # instead of XLA's separate conv and LN/GELU kernels over the largest
-    # activations in the graph). CPU falls back to the identical XLA
-    # formulation. See ops/pallas_conv.py.
+    # activations in the graph). Default OFF: parity-verified on TPU, but
+    # the serving graph with it over-allocates HBM at the batch-128 sweet
+    # spot (FAILED_PRECONDITION) — opt in at smaller batches. CPU falls
+    # back to the identical XLA formulation. See ops/pallas_conv.py.
     fused_attention: bool = True  # Pallas fused attention on TPU (scores/
     # softmax never touch HBM; differentiable via recompute VJP). On CPU the
     # op falls back to the identical einsum formulation, so tests and the
