@@ -46,8 +46,12 @@ def main() -> None:
     iters = int(os.environ.get("TRAIN_ITERS", "10"))
 
     scan = os.environ.get("TRAIN_SCAN", "1") == "1"
+    policy = os.environ.get("TRAIN_REMAT_POLICY", "full")
     emb = dataclasses.replace(
-        EmbedderConfig(dtype="bfloat16"), remat=True, scan_layers=scan
+        EmbedderConfig(dtype="bfloat16"),
+        remat=True,
+        scan_layers=scan,
+        remat_policy=policy,
     )
     cfg = PipelineConfig(embedder=emb)
     pipe = ADDvisorPipeline(cfg)
@@ -83,6 +87,7 @@ def main() -> None:
                 "unit": "clips/s",
                 "steps_per_sec": round(iters / dt, 3),
                 "batch": batch,
+                "remat_policy": policy,
                 "loss": float(np.asarray(aux["loss"])),
                 "device": str(jax.devices()[0]),
             }

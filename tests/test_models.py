@@ -90,6 +90,37 @@ def test_logreg_matches_sklearn(rng):
     np.testing.assert_allclose(np.asarray(probs)[:, 0], ref, atol=1e-4)
 
 
+def test_logreg_from_any_roundtrip(rng, tmp_path):
+    """Detector weights round-trip: train-detector's .npz output loads back
+    through the same CLI flag as a sklearn joblib (`--logreg-joblib`)."""
+    from sklearn.linear_model import LogisticRegression
+
+    from xai_audio_deepfakes_tpu.models.logreg import (
+        logreg_params_from_any,
+        logreg_params_save,
+    )
+
+    X = rng.standard_normal((64, 16)).astype(np.float64)
+    y = (X[:, 0] > 0).astype(int)
+    clf = LogisticRegression(C=1e6, max_iter=10000).fit(X, y)
+    params = logreg_params_from_arrays(clf.coef_, clf.intercept_)
+
+    npz = str(tmp_path / "det.npz")
+    logreg_params_save(params, npz)
+    loaded = logreg_params_from_any(npz)
+    np.testing.assert_array_equal(np.asarray(loaded["weight"]), np.asarray(params["weight"]))
+    np.testing.assert_array_equal(np.asarray(loaded["bias"]), np.asarray(params["bias"]))
+
+    import joblib
+
+    jl = str(tmp_path / "det.joblib")
+    joblib.dump(clf, jl)
+    loaded_jl = logreg_params_from_any(jl)
+    np.testing.assert_allclose(
+        np.asarray(loaded_jl["weight"]), np.asarray(params["weight"]), atol=1e-7
+    )
+
+
 def _torch_tconv1d(x, weight, bias, stride, padding):
     return torch.nn.functional.conv_transpose1d(
         torch.from_numpy(x), torch.from_numpy(weight), torch.from_numpy(bias),

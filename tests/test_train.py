@@ -72,6 +72,44 @@ def test_overfit_loss_decreases(setup):
     assert last < first, (first, last)
 
 
+def test_remat_policies_match(setup):
+    """remat + remat_policy only change what the backward saves vs
+    recomputes — the step's loss and updated params must be identical to
+    the no-remat step (same graph, same numerics)."""
+    import dataclasses
+
+    pipe, params, wav = setup
+    results = {}
+    for name, (remat, policy) in {
+        "none": (False, "full"),
+        "full": (True, "full"),
+        "dots": (True, "dots"),
+    }.items():
+        cfg = dataclasses.replace(
+            pipe.cfg,
+            embedder=dataclasses.replace(
+                pipe.cfg.embedder, remat=remat, remat_policy=policy
+            ),
+        )
+        p2 = ADDvisorPipeline(cfg)
+        tx_m, tx_w = make_optimizers(cfg)
+        state = init_train_state(p2, params, tx_m, tx_w)
+        frozen = {"encoder": params["encoder"], "logreg": params["logreg"]}
+        step = jax.jit(make_train_step(p2, tx_m, tx_w))
+        state2, aux = step(state, frozen, wav)
+        results[name] = (
+            float(aux["loss"]),
+            np.asarray(jax.tree.leaves(state2.unet_params)[0]),
+        )
+    for name in ("full", "dots"):
+        np.testing.assert_allclose(
+            results[name][0], results["none"][0], rtol=1e-6, err_msg=name
+        )
+        np.testing.assert_allclose(
+            results[name][1], results["none"][1], atol=1e-6, err_msg=name
+        )
+
+
 def test_train_loop_with_logging(setup, tmp_path):
     pipe, params, wav = setup
     records = []

@@ -36,6 +36,7 @@ def _build_pipeline(args):
             dtype=args.dtype,
             scan_layers=getattr(args, "scan_layers", False),
             remat=getattr(args, "remat", False),
+            remat_policy=getattr(args, "remat_policy", "full"),
             quant=getattr(args, "quant", "none"),
             gelu=getattr(args, "gelu", "exact"),
         ),
@@ -47,9 +48,9 @@ def _build_pipeline(args):
 
         params["encoder"] = params_from_hf_dir(args.embedder_dir, cfg.embedder)
     if args.logreg_joblib:
-        from xai_audio_deepfakes_tpu.models.logreg import logreg_params_from_joblib
+        from xai_audio_deepfakes_tpu.models.logreg import logreg_params_from_any
 
-        params["logreg"] = logreg_params_from_joblib(args.logreg_joblib)
+        params["logreg"] = logreg_params_from_any(args.logreg_joblib)
     if args.checkpoint:
         from xai_audio_deepfakes_tpu.train.checkpoints import restore_checkpoint
 
@@ -101,6 +102,12 @@ def _common(p: argparse.ArgumentParser):
              "full-geometry training (3 fwd + 2 bwd per step) on 16 GB HBM",
     )
     p.add_argument(
+        "--remat-policy", default="full", choices=["full", "dots"],
+        help="with --remat: 'full' recomputes whole layers in backward "
+             "(min memory); 'dots' keeps matmul outputs and recomputes only "
+             "elementwise chains (faster steps, ~1-2 GB more HBM)",
+    )
+    p.add_argument(
         "--quant", default="none", choices=["none", "int8"],
         help="int8: embedder transformer matmuls on the int8 MXU "
              "(~2x bf16 peak; serving only)",
@@ -111,7 +118,12 @@ def _common(p: argparse.ArgumentParser):
              "err 5e-4 (~bf16 rounding; GELU is ~25%% of serving time)",
     )
     p.add_argument("--embedder-dir", default="", help="local HF checkpoint dir")
-    p.add_argument("--logreg-joblib", default="", help="sklearn joblib checkpoint")
+    p.add_argument(
+        "--logreg-joblib",
+        default="",
+        help="detector weights: sklearn joblib checkpoint, or the .npz "
+        "written by train-detector",
+    )
     p.add_argument("--checkpoint", default="", help="orbax UNet checkpoint dir")
     p.add_argument(
         "--unet-pth", default="",

@@ -159,6 +159,11 @@ class EmbedderConfig:
     # (hidden_states[9] of a >=10-layer truncation is NOT final-LN'd; a
     # 9-layer truncation's last hidden state IS — configurable for parity)
     remat: bool = False  # rematerialize encoder layers (training memory)
+    remat_policy: str = "full"  # "full": recompute everything in backward
+    # (minimum memory). "dots": jax.checkpoint_policies.checkpoint_dots —
+    # keep matmul outputs, recompute only elementwise ops (LN/GELU/softmax);
+    # saves the backward's matmul recompute (~1 fwd of MXU FLOPs per bwd)
+    # for ~1-2 GB of saved bf16 residuals at train batch 16.
     scan_layers: bool = False  # lax.scan over the layer stack: ~num_layers x
     # smaller HLO -> much faster XLA compiles (essential for grad graphs and
     # deep truncations); params stack to [L, ...] under 'layers/layer'

@@ -68,3 +68,11 @@ def logreg_params_save(params: dict, path: str) -> None:
 def logreg_params_load(path: str) -> dict:
     z = np.load(path)
     return {"weight": jnp.asarray(z["weight"]), "bias": jnp.asarray(z["bias"])}
+
+
+def logreg_params_from_any(path: str) -> dict:
+    """Load detector weights from either a sklearn joblib checkpoint or the
+    .npz written by `logreg_params_save` (cli train-detector)."""
+    if path.endswith(".npz"):
+        return logreg_params_load(path)
+    return logreg_params_from_joblib(path)

@@ -407,6 +407,18 @@ class EncoderLayer(nn.Module):
         return x + y
 
 
+def _remat(cls, cfg: EmbedderConfig):
+    """nn.remat with the configured rematerialization policy (cfg.remat_policy):
+    "full" recomputes the whole layer in backward (minimum memory), "dots"
+    keeps matmul outputs and recomputes only the elementwise chains — trades
+    ~1-2 GB of bf16 residuals for skipping the backward's matmul recompute."""
+    if cfg.remat_policy == "dots":
+        return nn.remat(cls, policy=jax.checkpoint_policies.checkpoint_dots)
+    if cfg.remat_policy != "full":
+        raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r}")
+    return nn.remat(cls)
+
+
 class _ScanLayerBody(nn.Module):
     """scan body: one EncoderLayer per step over stacked [L, ...] params.
     `collect` additionally emits each layer's INPUT as the scan output
@@ -449,7 +461,7 @@ class Wav2Vec2Encoder(nn.Module):
             # flagship truncation num_layers == output_layer, so nothing
             # extra runs or materializes.
             collect = collect_hidden or cfg.output_layer < cfg.num_layers
-            body = nn.remat(_ScanLayerBody) if cfg.remat else _ScanLayerBody
+            body = _remat(_ScanLayerBody, cfg) if cfg.remat else _ScanLayerBody
             scanned = nn.scan(
                 body,
                 variable_axes={"params": 0},
@@ -475,7 +487,7 @@ class Wav2Vec2Encoder(nn.Module):
             hidden_states = [x]
             layer_cls = EncoderLayer
             if cfg.remat:
-                layer_cls = nn.remat(EncoderLayer)
+                layer_cls = _remat(EncoderLayer, cfg)
             for i in range(n_run):
                 x = layer_cls(cfg, name=f"layer_{i}")(x)
                 hidden_states.append(x)
