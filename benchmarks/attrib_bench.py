@@ -53,15 +53,18 @@ def main() -> None:
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(0))
 
-    def score_fn(wav):
-        logits, _ = pipe.classify(params, wav)
-        return logits
-
     fn = getattr(methods, method)
     key = jax.random.PRNGKey(1)
 
+    # params as a jit ARGUMENT: a closed-over param tree is inlined into the
+    # HLO as literal constants (measured 3.4 GB of program text at this
+    # geometry — the remote-compile relay chokes on it)
     @jax.jit
-    def run(wav):
+    def run(params, wav):
+        def score_fn(w):
+            logits, _ = pipe.classify(params, w)
+            return logits
+
         if method == "integrated_gradients":
             return fn(score_fn, wav, steps=16)
         if method == "smoothgrad":
@@ -77,12 +80,12 @@ def main() -> None:
         * 0.1
     )
 
-    out = run(wav)  # compile
+    out = run(params, wav)  # compile
     np.asarray(out[:1, :1])  # barrier (see bench.py note)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run(wav)
+        out = run(params, wav)
     np.asarray(out[:1, :1])
     dt = time.perf_counter() - t0
 

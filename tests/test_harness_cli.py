@@ -130,6 +130,83 @@ def test_gallery_builder(tmp_path):
     assert os.path.exists(tmp_path / "results.json")
 
 
+def test_cli_eval_sharded_mesh(monkeypatch, capsys, tmp_path, rng):
+    """`cli eval --data-parallel 4 --model-parallel 2` builds the dp x tp
+    mesh from the visible (virtual CPU) devices and matches the
+    single-device sweep."""
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+    from xai_audio_deepfakes_tpu.data.io import write_wav
+
+    pipe = ADDvisorPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: (pipe, params))
+    n = pipe.cfg.audio.num_samples
+    for i in range(4):
+        write_wav(
+            str(tmp_path / f"c{i}.wav"),
+            rng.uniform(-0.3, 0.3, n).astype(np.float32),
+            16000,
+        )
+    meta = tmp_path / "meta.csv"
+    meta.write_text("".join(f"c{i}.wav\n" for i in range(4)))
+    base = [
+        "eval", "--metadata", str(meta), "--root", str(tmp_path),
+        "--batch-size", "4",
+    ]
+    cli.main(base)
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cli.main(base + ["--data-parallel", "4", "--model-parallel", "2"])
+    sharded = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sharded["num_clips"] == single["num_clips"] == 4
+    np.testing.assert_allclose(
+        sharded["faithfulness"], single["faithfulness"], atol=1e-4
+    )
+
+    # more devices than exist -> clean failure
+    with pytest.raises(SystemExit):
+        cli.main(base + ["--data-parallel", "64", "--model-parallel", "2"])
+
+
+def test_cli_train_sharded_mesh(monkeypatch, capsys, tmp_path, rng):
+    """`cli train --data-parallel 2 --model-parallel 2`: one epoch of mesh
+    training from the CLI (dp batch sharding + tp frozen embedder), loss
+    finite, checkpoint written."""
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+    from xai_audio_deepfakes_tpu.data.io import write_wav
+
+    pipe = ADDvisorPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: (pipe, params))
+    n = pipe.cfg.audio.num_samples
+    for i in range(4):
+        write_wav(
+            str(tmp_path / f"c{i}.wav"),
+            rng.uniform(-0.3, 0.3, n).astype(np.float32),
+            16000,
+        )
+    meta = tmp_path / "meta.csv"
+    meta.write_text("".join(f"c{i}.wav\n" for i in range(4)))
+    out = tmp_path / "run"
+    rc = cli.main(
+        ["train", "--metadata", str(meta), "--root", str(tmp_path),
+         "--batch-size", "4", "--epochs", "1", "--out", str(out),
+         "--data-parallel", "2", "--model-parallel", "2"]
+    )
+    assert rc is None or rc == 0
+    log_lines = (out / "train_log.jsonl").read_text().strip().splitlines()
+    rec = json.loads(log_lines[-1])
+    assert np.isfinite(rec["loss"])
+    assert os.path.isdir(out / "ckpts")
+
+    # batch size not divisible by dp -> clean failure
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["train", "--metadata", str(meta), "--root", str(tmp_path),
+             "--batch-size", "3", "--epochs", "1", "--out", str(out),
+             "--data-parallel", "2"]
+        )
+
+
 def test_cli_explain_tiny_chunked_synthesized(monkeypatch, capsys, tmp_path, rng):
     """`cli explain --chunk-long --synthesize` over a tiny pipeline: long
     input splits into per-chunk artifacts and each gets a vocoded wav."""

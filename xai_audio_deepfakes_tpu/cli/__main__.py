@@ -135,12 +135,51 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--out", default="artifacts")
 
 
-def _batches(args, paths):
+def _mesh_flags(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--data-parallel", type=int, default=0, metavar="DP",
+        help="shard over a dp x tp device mesh: batch over 'data', GSPMD "
+             "collectives over ICI (0 = all devices / --model-parallel; "
+             "omit both flags for single-device)",
+    )
+    p.add_argument(
+        "--model-parallel", type=int, default=0, metavar="TP",
+        help="tensor-parallel ways for the embedder within the mesh",
+    )
+
+
+def _mesh_from_args(args):
+    """Build the ('data','model') mesh requested via --data-parallel /
+    --model-parallel, or None when neither flag is set."""
+    if not (getattr(args, "data_parallel", 0) or getattr(args, "model_parallel", 0)):
+        return None
+    import jax
+
+    from xai_audio_deepfakes_tpu.config import MeshConfig
+    from xai_audio_deepfakes_tpu.parallel.mesh import make_mesh
+
+    mp = args.model_parallel or 1
+    dp = args.data_parallel or max(1, len(jax.devices()) // mp)
+    if dp * mp > len(jax.devices()):
+        raise SystemExit(
+            f"--data-parallel {dp} x --model-parallel {mp} needs "
+            f"{dp * mp} devices, have {len(jax.devices())}"
+        )
+    return make_mesh(MeshConfig(model_parallel=mp), devices=jax.devices()[: dp * mp])
+
+
+def _batches(args, paths, pipe=None, drop_remainder=False):
     from xai_audio_deepfakes_tpu.data.datasets import AudioBatcher
 
+    kw = {}
+    if pipe is not None:  # honor a non-default clip contract
+        kw = dict(
+            sample_rate=pipe.cfg.audio.sample_rate,
+            clip_seconds=pipe.cfg.audio.clip_seconds,
+        )
     return AudioBatcher(
         paths, batch_size=args.batch_size, root=args.root, shuffle=False,
-        drop_remainder=False,
+        drop_remainder=drop_remainder, **kw,
     )
 
 
@@ -257,6 +296,13 @@ def cmd_train(args):
     from xai_audio_deepfakes_tpu.train.train_addvisor import train_addvisor
     from xai_audio_deepfakes_tpu.utils.logging import JSONLLogger
 
+    # fail fast on bad flags/paths BEFORE the expensive model build
+    mesh = _mesh_from_args(args)
+    if mesh is not None and args.batch_size % mesh.devices.shape[0]:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be a multiple of "
+            f"data-parallel={mesh.devices.shape[0]}"
+        )
     pipe, params = _build_pipeline(args)
     paths = extract_wavs(args.metadata)
     if args.limit:
@@ -295,10 +341,22 @@ def cmd_train(args):
 
     from xai_audio_deepfakes_tpu.data.prefetch import prefetch_to_device
 
+    batch_shard = None
+    if mesh is not None:
+        from xai_audio_deepfakes_tpu.parallel.mesh import batch_sharding
+
+        batch_shard = batch_sharding(mesh)
+
     state = train_addvisor(
         pipe, params,
-        batches=lambda: prefetch_to_device(_batches(args, paths), size=2),
+        batches=lambda: prefetch_to_device(
+            # mesh batches must keep the dp-divisible shape -> drop the tail
+            _batches(args, paths, pipe, drop_remainder=mesh is not None),
+            size=2,
+            sharding=batch_shard,
+        ),
         num_epochs=args.epochs,
+        mesh=mesh,
         log_fn=logger,
         artifact_fn=artifact_fn,
         checkpoint_fn=checkpoint_fn,
@@ -315,13 +373,31 @@ def cmd_eval(args):
     from xai_audio_deepfakes_tpu.data.datasets import extract_wavs
     from xai_audio_deepfakes_tpu.metrics.harness import run_explanation_metrics
 
-    pipe, params = _build_pipeline(args)
+    # fail fast on bad flags/paths BEFORE the expensive model build
+    mesh = _mesh_from_args(args)
     paths = extract_wavs(args.metadata)
     if args.limit:
         paths = paths[: args.limit]
+    pipe, params = _build_pipeline(args)
+    drop = False
+    if mesh is not None:
+        dp = mesh.devices.shape[0]
+        if args.batch_size % dp:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be a multiple of "
+                f"data-parallel={dp}"
+            )
+        if len(paths) % args.batch_size:
+            drop = True  # ragged tail can't shard over 'data'
+            print(
+                f"note: dropping {len(paths) % args.batch_size} tail clip(s) "
+                f"so every batch shards dp={dp}",
+                file=sys.stderr,
+            )
     result = run_explanation_metrics(
-        pipe, params, _batches(args, paths),
+        pipe, params, _batches(args, paths, pipe, drop_remainder=drop),
         decoder=args.decoder, masking=MaskingConvention(args.masking),
+        mesh=mesh,
     )
     print(json.dumps(result))
 
@@ -335,7 +411,7 @@ def cmd_attrib(args):
     if args.limit:
         paths = paths[: args.limit]
     result = run_attribution_metrics(
-        pipe, params, _batches(args, paths), method=args.method
+        pipe, params, _batches(args, paths, pipe), method=args.method
     )
     print(json.dumps(result))
 
@@ -356,9 +432,14 @@ def cmd_datagen(args):
         paths = paths[: args.limit]
     logger = JSONLLogger(None)
 
+    # params as argument, not closure (closed-over weights inline into the
+    # HLO as giant literal constants)
     @jax.jit
-    def embed_fn(wavs):
+    def _embed(params, wavs):
         return jnp.mean(pipe.features(params, wavs), axis=1)
+
+    def embed_fn(wavs):
+        return _embed(params, wavs)
 
     def pairs():
         for p in paths:
@@ -391,7 +472,7 @@ def cmd_embed(args):
         paths = paths[: args.limit]
 
     @jax.jit
-    def embed(wavs):
+    def embed(params, wavs):
         feats = pipe.features(params, wavs)
         pooled = jnp.mean(feats, axis=1)
         logits, probs = pipe.classify_features(params, feats)
@@ -399,8 +480,8 @@ def cmd_embed(args):
 
     feats_all, probs_all, names = [], [], []
     n = 0
-    for wav in _batches(args, paths):
-        feats, pooled, logits, probs = embed(jnp.asarray(wav))
+    for wav in _batches(args, paths, pipe):
+        feats, pooled, logits, probs = embed(params, jnp.asarray(wav))
         if n == 0 and getattr(args, "features_png", False):
             # feature-map visual dump (`train_addvisor.py:59-94` plot_features)
             from xai_audio_deepfakes_tpu.train.artifacts import save_features_png
@@ -591,6 +672,7 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out/ckpts")
+    _mesh_flags(p)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="faithfulness metric sweep")
@@ -600,6 +682,7 @@ def main(argv=None):
     p.add_argument("--decoder", default="unet", choices=["unet", "features"])
     p.add_argument("--masking", default="log1p", choices=["linear", "log1p"])
     p.add_argument("--limit", type=int, default=0)
+    _mesh_flags(p)
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("attrib", help="gradient-attribution metric sweep")

@@ -43,10 +43,15 @@ def hann_splice_config(sample_rate: int = 16000) -> STFTConfig:
 def make_vocoder_fn(pipe, params) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """wav [B, L] -> vocoded wav [B, ~L] (mel -> HiFi-GAN, one XLA program)."""
 
+    # params as argument, not closure (closed-over weights inline into the
+    # HLO as literal constants)
     @jax.jit
-    def vocode(wav):
+    def _vocode(hg_params, wav):
         mel = mel_spectrogram(wav, pipe.cfg.mel)
-        return pipe.hifigan.apply(params["hifigan"], mel)
+        return pipe.hifigan.apply(hg_params, mel)
+
+    def vocode(wav):
+        return _vocode(params["hifigan"], wav)
 
     return vocode
 

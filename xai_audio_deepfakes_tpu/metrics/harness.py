@@ -82,12 +82,15 @@ def run_attribution_metrics(
     log_fn: Callable[[dict], None] | None = None,
     **method_kw,
 ) -> dict:
-    def score_fn(wav):
-        logits, _ = pipe.classify(params, wav)
-        return logits
-
+    # params is a jit ARGUMENT, not a closure: closed-over weights would be
+    # inlined into the HLO as literal constants (measured: 3.4 GB of program
+    # text at full geometry — uncompilable through the remote-compile relay)
     @jax.jit
-    def step(wav):
+    def step(params, wav):
+        def score_fn(w):
+            logits, _ = pipe.classify(params, w)
+            return logits
+
         mask, rel_wav, irr_wav = waveform_explanation(
             score_fn, wav, method=method, **method_kw
         )
@@ -98,7 +101,7 @@ def run_attribution_metrics(
 
     clean, rel, irr = [], [], []
     for wav in batches:
-        p_clean, p_rel, p_irr = step(jnp.asarray(wav))
+        p_clean, p_rel, p_irr = step(params, jnp.asarray(wav))
         clean.append(np.asarray(p_clean))
         rel.append(np.asarray(p_rel))
         irr.append(np.asarray(p_irr))

@@ -173,11 +173,25 @@ def train_addvisor(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from xai_audio_deepfakes_tpu.parallel.sharding import (
+            embedder_param_specs,
+            shard_params,
+        )
+
         rep = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(cfg.mesh.data_axis))
         state = jax.device_put(state, rep)
-        frozen = jax.device_put(frozen, rep)
-        jit_step = jax.jit(step_fn, in_shardings=(rep, rep, data), donate_argnums=(0,))
+        # frozen embedder tensor-shards over 'model' (Megatron specs);
+        # detector head replicates
+        frozen = {
+            "encoder": shard_params(
+                frozen["encoder"],
+                mesh,
+                embedder_param_specs(frozen["encoder"], cfg.mesh),
+            ),
+            "logreg": shard_params(frozen["logreg"], mesh),
+        }
+        jit_step = jax.jit(step_fn, in_shardings=(rep, None, data), donate_argnums=(0,))
     else:
         jit_step = jax.jit(step_fn, donate_argnums=(0,))
 
