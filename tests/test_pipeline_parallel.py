@@ -1,0 +1,113 @@
+"""Pipeline parallelism (`parallel/pipeline.py`): shard_map + ppermute
+GPipe rotation over the scanned layer stack, validated on the 8-virtual-
+device CPU mesh against a plain sequential scan of the same layers.
+
+The reference has no PP (its only distribution is DDP,
+`train_addvisor.py:410-412`); this is the rebuild's third mesh axis for the
+48-layer XLS-R-2B stack (SURVEY §5 contingency).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from xai_audio_deepfakes_tpu.config import EmbedderConfig
+from xai_audio_deepfakes_tpu.models.wav2vec2 import Wav2Vec2Encoder
+from xai_audio_deepfakes_tpu.parallel.pipeline import (
+    encoder_layer_fn,
+    pipeline_apply,
+    stack_to_stages,
+)
+
+
+@pytest.fixture(scope="module")
+def stacked():
+    """8 stacked tiny EncoderLayers + a [B, T, H] activation."""
+    cfg = dataclasses.replace(
+        EmbedderConfig.tiny(), num_layers=8, scan_layers=True
+    )
+    enc = Wav2Vec2Encoder(cfg)
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 1600)).astype(np.float32)
+    )
+    params = enc.init(jax.random.PRNGKey(0), wav)
+    layer_params = params["params"]["layers"]["layer"]
+    x = jnp.asarray(
+        np.random.default_rng(1)
+        .standard_normal((16, 12, cfg.hidden_size))
+        .astype(np.float32)
+    )
+    return cfg, layer_params, x
+
+
+def _sequential(layer_fn, layer_params, x):
+    def body(h, p):
+        return layer_fn(p, h), None
+
+    out, _ = jax.lax.scan(body, x, layer_params)
+    return out
+
+
+@pytest.mark.parametrize("dp,pp,n_micro", [(2, 4, 4), (2, 4, 8), (1, 8, 8)])
+def test_pipeline_matches_sequential(stacked, dp, pp, n_micro):
+    cfg, layer_params, x = stacked
+    layer_fn = encoder_layer_fn(cfg)
+    want = _sequential(layer_fn, layer_params, x)
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[: dp * pp]).reshape(dp, pp),
+        ("data", "stage"),
+    )
+    got = pipeline_apply(
+        layer_fn,
+        stack_to_stages(layer_params, pp),
+        x,
+        mesh,
+        n_micro=n_micro,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pipeline_single_stage_degenerate(stacked):
+    cfg, layer_params, x = stacked
+    layer_fn = encoder_layer_fn(cfg)
+    want = _sequential(layer_fn, layer_params, x)
+    mesh = Mesh(
+        np.asarray(jax.devices()[:2]).reshape(2, 1), ("data", "stage")
+    )
+    got = pipeline_apply(layer_fn, layer_params, x, mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pipeline_jit_compiles_once(stacked):
+    """The whole rotation is one jittable program (static shapes, scan'd
+    schedule) — jit of pipeline_apply compiles and matches eager."""
+    cfg, layer_params, x = stacked
+    layer_fn = encoder_layer_fn(cfg)
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(2, 4), ("data", "stage")
+    )
+
+    fn = jax.jit(
+        lambda p, x: pipeline_apply(layer_fn, p, x, mesh, n_micro=4)
+    )
+    got = fn(layer_params, x)
+    want = _sequential(layer_fn, layer_params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pipeline_validation_errors(stacked):
+    cfg, layer_params, x = stacked
+    with pytest.raises(ValueError, match="not divisible"):
+        stack_to_stages(layer_params, 3)
+    mesh = Mesh(
+        np.asarray(jax.devices()[:4]).reshape(1, 4), ("data", "stage")
+    )
+    with pytest.raises(ValueError, match="batch"):
+        pipeline_apply(
+            encoder_layer_fn(cfg), layer_params, x, mesh, n_micro=3
+        )

@@ -3,6 +3,11 @@ from xai_audio_deepfakes_tpu.parallel.mesh import (
     make_mesh,
     replicated,
 )
+from xai_audio_deepfakes_tpu.parallel.pipeline import (
+    encoder_layer_fn,
+    pipeline_apply,
+    stack_to_stages,
+)
 from xai_audio_deepfakes_tpu.parallel.sharding import (
     embedder_param_specs,
     shard_params,
