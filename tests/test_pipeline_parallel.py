@@ -20,6 +20,7 @@ from xai_audio_deepfakes_tpu.models.wav2vec2 import Wav2Vec2Encoder
 from xai_audio_deepfakes_tpu.parallel.pipeline import (
     encoder_layer_fn,
     pipeline_apply,
+    pipelined_encoder_apply,
     stack_to_stages,
 )
 
@@ -97,6 +98,65 @@ def test_pipeline_jit_compiles_once(stacked):
     )
     got = fn(layer_params, x)
     want = _sequential(layer_fn, layer_params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pipeline_gradients_match_sequential(stacked):
+    """PP must support *training*, not just inference: grads w.r.t. both the
+    stage-sharded layer params and the input flow back through the ppermute
+    rotation (ppermute's transpose is the reverse permutation, inserted by
+    JAX) and match the sequential scan's grads."""
+    cfg, layer_params, x = stacked
+    layer_fn = encoder_layer_fn(cfg)
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(2, 4), ("data", "stage")
+    )
+
+    def loss_pp(p, x):
+        return jnp.sum(pipeline_apply(layer_fn, p, x, mesh, n_micro=4) ** 2)
+
+    def loss_seq(p, x):
+        return jnp.sum(_sequential(layer_fn, p, x) ** 2)
+
+    gp_pp, gx_pp = jax.grad(loss_pp, argnums=(0, 1))(layer_params, x)
+    gp_seq, gx_seq = jax.grad(loss_seq, argnums=(0, 1))(layer_params, x)
+
+    # psum/scan reassociate the float sums: rel diffs ~1e-5 at grad
+    # magnitudes ~50 — tolerance covers reassociation, not logic errors
+    np.testing.assert_allclose(
+        np.asarray(gx_pp), np.asarray(gx_seq), rtol=1e-4, atol=1e-3
+    )
+    flat_pp = jax.tree.leaves(gp_pp)
+    flat_seq = jax.tree.leaves(gp_seq)
+    assert len(flat_pp) == len(flat_seq)
+    for a, b in zip(flat_pp, flat_seq):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3
+        )
+
+
+@pytest.mark.parametrize("output_layer", [9, 2])
+def test_pipelined_encoder_matches_plain_apply(output_layer):
+    """Model-level wrapper: conv frontend + projection + pos-conv as usual,
+    transformer stack pipelined — must equal Wav2Vec2Encoder.apply exactly
+    (incl. the hidden_states[output_layer] readout semantics)."""
+    cfg = dataclasses.replace(
+        EmbedderConfig.tiny(),
+        num_layers=4,
+        scan_layers=True,
+        output_layer=output_layer,
+    )
+    enc = Wav2Vec2Encoder(cfg)
+    wav = jnp.asarray(
+        np.random.default_rng(3).standard_normal((8, 3200)).astype(np.float32)
+    )
+    params = enc.init(jax.random.PRNGKey(0), wav)
+    want = enc.apply(params, wav)
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:4]).reshape(2, 2), ("data", "stage")
+    )
+    got = pipelined_encoder_apply(cfg, params, wav, mesh, n_micro=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 

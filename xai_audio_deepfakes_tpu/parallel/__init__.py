@@ -6,6 +6,7 @@ from xai_audio_deepfakes_tpu.parallel.mesh import (
 from xai_audio_deepfakes_tpu.parallel.pipeline import (
     encoder_layer_fn,
     pipeline_apply,
+    pipelined_encoder_apply,
     stack_to_stages,
 )
 from xai_audio_deepfakes_tpu.parallel.sharding import (

@@ -157,6 +157,60 @@ def pipeline_apply(
     return out.reshape((B,) + x.shape[1:])
 
 
+def pipelined_encoder_apply(
+    cfg,
+    params: dict,
+    wav: jax.Array,
+    mesh: Mesh,
+    *,
+    n_micro: int | None = None,
+    stage_axis: str = "stage",
+    data_axis: str | None = "data",
+):
+    """Full `Wav2Vec2Encoder` forward with the transformer stack pipelined.
+
+    Matches `Wav2Vec2Encoder(cfg).apply(params, wav)` (the
+    `hidden_states[output_layer]` readout, `classifier_embedder.py:13-16` /
+    `audioprocessor.py:76-77` semantics) but runs the layer stack as an
+    S-stage pipeline over `stage_axis`: the conv frontend / projection /
+    pos-conv (~5% of FLOPs at full geometry) run replicated-or-dp as
+    GSPMD places them, then the first `output_layer` stacked layers rotate
+    through the stages. Requires `scan_layers=True` params (stacked
+    [L, ...]) and `output_layer % n_stages == 0`.
+    """
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.models.wav2vec2 import (
+        FeatureEncoder,
+        FeatureProjection,
+        PositionalConvEmbedding,
+    )
+
+    p = params["params"] if "params" in params else params
+    x = FeatureEncoder(cfg).apply({"params": p["feature_encoder"]}, wav)
+    x = FeatureProjection(cfg).apply({"params": p["feature_projection"]}, x)
+    x = x + PositionalConvEmbedding(cfg).apply({"params": p["pos_conv"]}, x)
+
+    n_run = min(cfg.output_layer, cfg.num_layers)
+    layer_params = jax.tree.map(lambda a: a[:n_run], p["layers"]["layer"])
+    x = pipeline_apply(
+        encoder_layer_fn(cfg),
+        stack_to_stages(layer_params, mesh.shape[stage_axis]),
+        x,
+        mesh,
+        stage_axis=stage_axis,
+        data_axis=data_axis,
+        n_micro=n_micro,
+    )
+    if cfg.final_layer_norm:
+        import flax.linen as nn
+
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32
+        ).apply({"params": p["final_ln"]}, x)
+    return x.astype(jnp.float32)
+
+
 def encoder_layer_fn(cfg):
     """layer_fn for `pipeline_apply` wrapping one `EncoderLayer` — pass the
     scanned stack's params subtree (`params['params']['layers']['layer']`,
