@@ -3,11 +3,12 @@
 The product pipeline consumes hidden_states[9], so the flagship ships the
 9-layer truncation; `EmbedderConfig.xls_r_2b_full()` (48 layers, remat, bf16,
 `config.py`) exists for full-model studies. This bench instantiates it for
-real: full 48-layer forward at small batch, scan-layers, parameters cast to
-bf16 on device (2.07 B params -> ~4.2 GB HBM; the f32 tree would be ~8.3 GB
-and leave no activation headroom on a 16 GB v5e). Records clips/s or the OOM
-boundary; the 2-way tensor-parallel fallback is exercised by
-`tests/test_train.py`'s mesh tests and the dryrun entry.
+real: full 48-layer forward at small batch, scan-layers, parameters
+materialized bf16 directly on device (2.16 B params -> ~4.3 GB HBM; the f32
+tree would be ~8.6 GB and leave little activation headroom on a 16 GB v5e).
+Records clips/s or the OOM boundary; the 2-way tensor-parallel fallback is
+exercised by `tests/test_train.py`'s mesh tests and the dryrun entry, and
+pipeline parallelism by `tests/test_pipeline_parallel.py`.
 
     python benchmarks/full2b_bench.py             # batch 4
     FULL2B_BATCH=8 python benchmarks/full2b_bench.py
@@ -44,8 +45,11 @@ def main() -> None:
     iters = int(os.environ.get("FULL2B_ITERS", "5"))
     num_samples = 80000
 
+    # output_layer = num_layers: the full-model readout is the LAST hidden
+    # state; leaving the default 9 (< 48) would flip the scan's collect path
+    # on and materialize a [48, B, T, 1920] per-layer stack of pure waste.
     cfg = dataclasses.replace(
-        EmbedderConfig.xls_r_2b_full(), scan_layers=True
+        EmbedderConfig.xls_r_2b_full(), scan_layers=True, output_layer=48
     )
     enc = Wav2Vec2Encoder(cfg)
 

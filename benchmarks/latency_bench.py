@@ -42,8 +42,9 @@ def main() -> None:
     )
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
+    # 200 dispatches so p99 is a real percentile, not the sample max
     batch = int(os.environ.get("LAT_BATCH", "1"))
-    iters = int(os.environ.get("LAT_ITERS", "30"))
+    iters = int(os.environ.get("LAT_ITERS", "200"))
     quant = os.environ.get("LAT_QUANT", "int8")
     gelu = os.environ.get("LAT_GELU", "tanh")
 

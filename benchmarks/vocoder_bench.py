@@ -31,8 +31,6 @@ def main() -> None:
     except Exception:
         pass
 
-    import dataclasses
-
     from xai_audio_deepfakes_tpu.config import HiFiGANConfig, PipelineConfig
     from xai_audio_deepfakes_tpu.data.vocoded import make_vocoder_fn
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline

@@ -178,8 +178,6 @@ def pipelined_encoder_apply(
     through the stages. Requires `scan_layers=True` params (stacked
     [L, ...]) and `output_layer % n_stages == 0`.
     """
-    import jax.numpy as jnp
-
     from xai_audio_deepfakes_tpu.models.wav2vec2 import (
         FeatureEncoder,
         FeatureProjection,
