@@ -207,6 +207,48 @@ def test_cli_train_sharded_mesh(monkeypatch, capsys, tmp_path, rng):
         )
 
 
+def test_restore_decoder_from_train_checkpoint(monkeypatch, capsys, tmp_path, rng):
+    """`cli eval/explain --checkpoint <cli-train ckpt>` regression: train
+    checkpoints carry the FULL AddvisorTrainState, and the inference-side
+    restore must extract the decoder from it (found broken on TPU: the old
+    code restored against a bare UNet template and Orbax rejected the
+    structure mismatch)."""
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+    from xai_audio_deepfakes_tpu.data.io import write_wav
+    from xai_audio_deepfakes_tpu.train.checkpoints import latest_checkpoint
+    from xai_audio_deepfakes_tpu.train.train_addvisor import (
+        restore_decoder_for_inference,
+    )
+
+    pipe = ADDvisorPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: (pipe, params))
+    n = pipe.cfg.audio.num_samples
+    for i in range(2):
+        write_wav(
+            str(tmp_path / f"c{i}.wav"),
+            rng.uniform(-0.3, 0.3, n).astype(np.float32),
+            16000,
+        )
+    meta = tmp_path / "meta.csv"
+    meta.write_text("c0.wav\nc1.wav\n")
+    out = tmp_path / "run"
+    cli.main(
+        ["train", "--metadata", str(meta), "--root", str(tmp_path),
+         "--batch-size", "2", "--epochs", "1", "--out", str(out)]
+    )
+    ckpt = latest_checkpoint(str(out / "ckpts"))
+    assert ckpt is not None
+
+    unet = restore_decoder_for_inference(ckpt, pipe, params)
+    assert set(unet) >= {"params"}
+    # restored decoder drives the explain pipeline
+    restored = dict(params, unet=unet)
+    wav = jnp.asarray(rng.uniform(-0.3, 0.3, (1, n)).astype(np.float32))
+    res = pipe.explain(restored, wav, decoder="unet")
+    assert np.isfinite(np.asarray(res.probs_relevant)).all()
+
+
 def test_cli_explain_tiny_chunked_synthesized(monkeypatch, capsys, tmp_path, rng):
     """`cli explain --chunk-long --synthesize` over a tiny pipeline: long
     input splits into per-chunk artifacts and each gets a vocoded wav."""

@@ -52,9 +52,13 @@ def _build_pipeline(args):
 
         params["logreg"] = logreg_params_from_any(args.logreg_joblib)
     if args.checkpoint:
-        from xai_audio_deepfakes_tpu.train.checkpoints import restore_checkpoint
+        from xai_audio_deepfakes_tpu.train.train_addvisor import (
+            restore_decoder_for_inference,
+        )
 
-        params["unet"] = restore_checkpoint(args.checkpoint, params["unet"])
+        params["unet"] = restore_decoder_for_inference(
+            args.checkpoint, pipe, params
+        )
     if getattr(args, "unet_pth", ""):
         import torch
 

@@ -230,3 +230,27 @@ def train_addvisor(
         if checkpoint_fn is not None and (epoch + 1) % cfg.train.checkpoint_every == 0:
             checkpoint_fn(epoch + 1, state, avg)
     return state
+
+
+def restore_decoder_for_inference(
+    path: str, pipe: ADDvisorPipeline, params: dict
+) -> dict:
+    """Extract the UNet decoder (+BN stats) from a `cli train` checkpoint.
+
+    Train checkpoints carry the FULL AddvisorTrainState (decoder + loss
+    weights + both optimizer states, `train/checkpoints.py`); eval/explain/
+    serve only need the decoder variables. Restores against the full-state
+    template first, falling back to a bare UNet-tree template for
+    checkpoints saved outside the trainer."""
+    from xai_audio_deepfakes_tpu.train.checkpoints import restore_checkpoint
+
+    tx_m, tx_w = make_optimizers(pipe.cfg)
+    template = init_train_state(pipe, params, tx_m, tx_w)
+    try:
+        state = restore_checkpoint(path, template)
+    except Exception:
+        return restore_checkpoint(path, params["unet"])
+    unet = {"params": state.unet_params}
+    if state.unet_batch_stats:
+        unet["batch_stats"] = state.unet_batch_stats
+    return unet
