@@ -11,6 +11,12 @@
 //     RIFF/WAVE PCM16 (and PCM8) decoder; interleaved frames are written as
 //     float32 in [-1, 1]. Returns -1 on unsupported encodings so the caller
 //     falls back to the Python decoder.
+//   encode_wav_pcm16(path, data, n_samples, sr, channels) -> 0 / -1
+//     float32 [-1, 1] -> 16-bit PCM RIFF/WAVE writer (clip + truncate
+//     toward zero, bit-identical to the Python scipy path). The datagen
+//     apps write thousands of band-spliced wavs (`hifigan.py:223-230`,
+//     `train_logReg_swapping.py:94-99`) — the write side belongs in C++
+//     for the same reason the read side does.
 //
 // Build: make -C native   (produces libaudio_io.so)
 
@@ -88,6 +94,48 @@ int64_t decode_wav_pcm16(const char* path, float* out, int64_t max_samples,
     }
   }
   return -1;
+}
+
+// float32 [-1, 1] interleaved -> 16-bit PCM RIFF/WAVE. Returns 0 on
+// success, -1 on error. Conversion is clip then C float->int truncation
+// (toward zero) * 32767 — bit-identical to the Python fallback's
+// `(np.clip(wav, -1, 1) * 32767).astype(np.int16)`.
+int64_t encode_wav_pcm16(const char* path, const float* data,
+                         int64_t n_samples, int32_t sample_rate,
+                         int32_t channels) {
+  if (n_samples < 0 || channels <= 0 || sample_rate <= 0) return -1;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  const uint32_t data_bytes = static_cast<uint32_t>(n_samples * 2);
+  const uint32_t riff_size = 36 + data_bytes;
+  const uint16_t fmt_pcm = 1, bits = 16;
+  const uint16_t ch = static_cast<uint16_t>(channels);
+  const uint32_t sr = static_cast<uint32_t>(sample_rate);
+  const uint32_t byte_rate = sr * ch * 2;
+  const uint16_t block_align = ch * 2;
+  const uint32_t fmt_len = 16;
+  bool ok = fwrite("RIFF", 1, 4, f) == 4 && fwrite(&riff_size, 4, 1, f) == 1 &&
+            fwrite("WAVE", 1, 4, f) == 4 && fwrite("fmt ", 1, 4, f) == 4 &&
+            fwrite(&fmt_len, 4, 1, f) == 1 && fwrite(&fmt_pcm, 2, 1, f) == 1 &&
+            fwrite(&ch, 2, 1, f) == 1 && fwrite(&sr, 4, 1, f) == 1 &&
+            fwrite(&byte_rate, 4, 1, f) == 1 &&
+            fwrite(&block_align, 2, 1, f) == 1 && fwrite(&bits, 2, 1, f) == 1 &&
+            fwrite("data", 1, 4, f) == 4 && fwrite(&data_bytes, 4, 1, f) == 1;
+  constexpr int64_t kChunk = 1 << 16;
+  std::vector<int16_t> tmp(static_cast<size_t>(
+      n_samples < kChunk ? (n_samples > 0 ? n_samples : 1) : kChunk));
+  for (int64_t off = 0; ok && off < n_samples; off += kChunk) {
+    const int64_t n = (n_samples - off < kChunk) ? n_samples - off : kChunk;
+    for (int64_t i = 0; i < n; ++i) {
+      float x = data[off + i];
+      if (x > 1.0f) x = 1.0f;
+      if (x < -1.0f) x = -1.0f;
+      tmp[static_cast<size_t>(i)] = static_cast<int16_t>(x * 32767.0f);
+    }
+    ok = fwrite(tmp.data(), 2, static_cast<size_t>(n), f) ==
+         static_cast<size_t>(n);
+  }
+  return fclose(f) == 0 && ok ? 0 : -1;
 }
 
 }  // extern "C"

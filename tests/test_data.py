@@ -47,6 +47,36 @@ def test_native_decoder_matches_python(tmp_path, rng):
     np.testing.assert_allclose(data, ref.astype(np.float32) / 32768.0, atol=1e-6)
 
 
+def test_native_writer_bit_identical_to_python(tmp_path, rng):
+    """encode_wav_pcm16 must produce the exact bytes the scipy fallback
+    writes (same clip + truncate-toward-zero int16 conversion and RIFF
+    header), so artifacts are reproducible regardless of which path ran."""
+    from xai_audio_deepfakes_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native lib not built")
+    wav = rng.uniform(-1.3, 1.3, 23456).astype(np.float32)  # exercises clip
+    p_native = str(tmp_path / "nat.wav")
+    p_python = str(tmp_path / "py.wav")
+    assert native_io.write_wav_native(p_native, wav, 16000)
+    import scipy.io.wavfile as wavfile
+
+    wavfile.write(
+        p_python, 16000, (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    )
+    with open(p_native, "rb") as a, open(p_python, "rb") as b:
+        assert a.read() == b.read()
+
+    # and the native decoder round-trips the native writer
+    data, sr = native_io.read_wav_native(p_native)
+    assert sr == 16000
+    # truncation (1 LSB) + the 32767-encode/32768-decode scale skew (|x|
+    # LSB) bound the roundtrip error at 2 LSB
+    np.testing.assert_allclose(
+        data, np.clip(wav, -1, 1), atol=2.0 / 32768.0
+    )
+
+
 def test_load_audio_contract(tmp_path, rng):
     """load_audio: mono, resampled, exactly 80000 samples
     (`audioprocessor.py:49-63`)."""

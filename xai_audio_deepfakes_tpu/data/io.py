@@ -63,10 +63,17 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
-    import scipy.io.wavfile as wavfile
-
+    """16-bit PCM WAV out. Native C++ encoder when built (`make -C native`
+    — the datagen apps write thousands of clips, `hifigan.py:223-230`),
+    bit-identical Python fallback otherwise."""
     wav = np.asarray(wav, dtype=np.float32)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    from xai_audio_deepfakes_tpu.data.native_io import write_wav_native
+
+    if write_wav_native(path, wav, sample_rate):
+        return
+    import scipy.io.wavfile as wavfile
+
     wavfile.write(path, sample_rate, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
 
 

@@ -36,6 +36,15 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    if hasattr(lib, "encode_wav_pcm16"):  # lib built before the writer: ok
+        lib.encode_wav_pcm16.restype = ctypes.c_int64
+        lib.encode_wav_pcm16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
     _LIB = lib
     return _LIB
 
@@ -65,3 +74,27 @@ def read_wav_native(path: str, max_samples: int = 16000 * 60 * 10):
     if ch.value > 1:
         out = out.reshape(-1, ch.value).T
     return out, int(sr.value)
+
+
+def write_wav_native(path: str, wav: np.ndarray, sample_rate: int) -> bool:
+    """float32 [-1, 1] (mono [L] or [C, L]) -> 16-bit PCM WAV via the C++
+    encoder; bit-identical to the Python scipy fallback (clip + truncate).
+    Returns False (caller falls back) if the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "encode_wav_pcm16"):
+        return False
+    wav = np.asarray(wav, dtype=np.float32)
+    if wav.ndim == 2:  # [C, L] -> interleaved frames
+        channels = wav.shape[0]
+        wav = np.ascontiguousarray(wav.T).reshape(-1)
+    else:
+        channels = 1
+        wav = np.ascontiguousarray(wav.reshape(-1))
+    rc = lib.encode_wav_pcm16(
+        path.encode(),
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        wav.size,
+        int(sample_rate),
+        channels,
+    )
+    return rc == 0
