@@ -167,6 +167,56 @@ def test_cli_eval_sharded_mesh(monkeypatch, capsys, tmp_path, rng):
         cli.main(base + ["--data-parallel", "64", "--model-parallel", "2"])
 
 
+def test_cli_eval_pipeline_stages(monkeypatch, capsys, tmp_path, rng):
+    """`cli eval --data-parallel 2 --pipeline-stages 2` runs the embedder as
+    a 2-stage shard_map/ppermute pipeline inside the eval sweep and matches
+    the single-device metrics."""
+    import dataclasses
+
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+    from xai_audio_deepfakes_tpu.data.io import write_wav
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, embedder=dataclasses.replace(cfg.embedder, scan_layers=True)
+    )
+    pipe = ADDvisorPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: (pipe, params))
+    n = pipe.cfg.audio.num_samples
+    for i in range(4):
+        write_wav(
+            str(tmp_path / f"c{i}.wav"),
+            rng.uniform(-0.3, 0.3, n).astype(np.float32),
+            16000,
+        )
+    meta = tmp_path / "meta.csv"
+    meta.write_text("".join(f"c{i}.wav\n" for i in range(4)))
+    base = [
+        "eval", "--metadata", str(meta), "--root", str(tmp_path),
+        "--batch-size", "4",
+    ]
+    cli.main(base)
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cli.main(base + ["--data-parallel", "2", "--pipeline-stages", "2"])
+    pp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pp["num_clips"] == single["num_clips"] == 4
+    np.testing.assert_allclose(
+        pp["faithfulness"], single["faithfulness"], atol=1e-4
+    )
+
+    # tp and pp together -> clean failure
+    with pytest.raises(SystemExit):
+        cli.main(
+            base + ["--model-parallel", "2", "--pipeline-stages", "2"]
+        )
+    # batch not divisible by dp x stages -> clean failure
+    with pytest.raises(SystemExit):
+        cli.main(
+            base[:-1] + ["2", "--data-parallel", "2", "--pipeline-stages", "2"]
+        )
+
+
 def test_cli_train_sharded_mesh(monkeypatch, capsys, tmp_path, rng):
     """`cli train --data-parallel 2 --model-parallel 2`: one epoch of mesh
     training from the CLI (dp batch sharding + tp frozen embedder), loss

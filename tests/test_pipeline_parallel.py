@@ -160,6 +160,56 @@ def test_pipelined_encoder_matches_plain_apply(output_layer):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_sharded_explain_with_pipeline_stages_matches_single_device():
+    """`make_sharded_explain` on a ('data','stage') mesh runs the embedder
+    through the shard_map/ppermute rotation inside the one jitted explain
+    graph; outputs must match the plain single-device explain."""
+    from xai_audio_deepfakes_tpu.parallel.inference import make_sharded_explain
+    from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, embedder=dataclasses.replace(cfg.embedder, scan_layers=True)
+    )
+    pipe = ADDvisorPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    wav = jnp.asarray(
+        np.random.default_rng(5)
+        .standard_normal((4, cfg.audio.num_samples))
+        .astype(np.float32)
+        * 0.1
+    )
+    want = pipe.explain(params, wav, decoder="unet")
+
+    # tiny() runs output_layer=2 layers -> 2 stages; 2-way dp alongside
+    mesh = Mesh(
+        np.asarray(jax.devices()[:4]).reshape(2, 2), ("data", "stage")
+    )
+    explain, sharded = make_sharded_explain(pipe, mesh, params)
+    got = explain(sharded, wav)
+
+    np.testing.assert_allclose(
+        np.asarray(got.probs_clean), np.asarray(want.probs_clean), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.probs_relevant),
+        np.asarray(want.probs_relevant),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.relevant_wav), np.asarray(want.relevant_wav), atol=1e-4
+    )
+
+    # without scan_layers the pp mesh must be rejected loudly
+    with pytest.raises(ValueError, match="scan_layers"):
+        make_sharded_explain(
+            ADDvisorPipeline(tiny_config()),
+            mesh,
+            ADDvisorPipeline(tiny_config()).init_params(jax.random.PRNGKey(0)),
+        )
+
+
 def test_pipeline_validation_errors(stacked):
     cfg, layer_params, x = stacked
     with pytest.raises(ValueError, match="not divisible"):

@@ -153,6 +153,49 @@ def test_data_parallel_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1.5e-4)
 
 
+def test_pipeline_parallel_training_matches_single_device(setup):
+    """`train_addvisor` on a ('data','stage') mesh runs every embedder
+    forward/backward through the shard_map/ppermute pipeline; the epoch loss
+    must match single-device training (same graph, resharded)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    pipe, _, wav = setup
+    cfg = dataclasses.replace(
+        pipe.cfg,
+        embedder=dataclasses.replace(pipe.cfg.embedder, scan_layers=True),
+    )
+    p2 = ADDvisorPipeline(cfg)
+    params = p2.init_params(jax.random.PRNGKey(0))
+
+    ref_records = []
+    train_addvisor(
+        p2, params, batches=lambda: [wav], num_epochs=1,
+        log_fn=ref_records.append,
+    )
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:4]).reshape(2, 2), ("data", "stage")
+    )
+    pp_records = []
+    train_addvisor(
+        p2, params, batches=lambda: [wav], num_epochs=1, mesh=mesh,
+        log_fn=pp_records.append,
+    )
+    np.testing.assert_allclose(
+        pp_records[0]["loss"], ref_records[0]["loss"], rtol=1e-4
+    )
+
+    # without scan_layers the stage mesh must be rejected loudly
+    with pytest.raises(ValueError, match="scan_layers"):
+        train_addvisor(
+            ADDvisorPipeline(tiny_config()),
+            ADDvisorPipeline(tiny_config()).init_params(jax.random.PRNGKey(0)),
+            batches=lambda: [wav], num_epochs=1, mesh=mesh,
+        )
+
+
 def test_tensor_parallel_embedder_specs(setup):
     """2-way TP sharding of the embedder runs under the ('data','model') mesh
     and matches replicated execution."""

@@ -150,17 +150,50 @@ def _mesh_flags(p: argparse.ArgumentParser):
         "--model-parallel", type=int, default=0, metavar="TP",
         help="tensor-parallel ways for the embedder within the mesh",
     )
+    p.add_argument(
+        "--pipeline-stages", type=int, default=0, metavar="PP",
+        help="pipeline-parallel stages for the embedder layer stack "
+             "(shard_map+ppermute rotation; needs --scan-layers and "
+             "output_layer %% PP == 0; exclusive with --model-parallel)",
+    )
 
 
 def _mesh_from_args(args):
-    """Build the ('data','model') mesh requested via --data-parallel /
-    --model-parallel, or None when neither flag is set."""
-    if not (getattr(args, "data_parallel", 0) or getattr(args, "model_parallel", 0)):
+    """Build the ('data','model') or ('data','stage') mesh requested via
+    --data-parallel / --model-parallel / --pipeline-stages, or None when no
+    flag is set."""
+    pp = getattr(args, "pipeline_stages", 0)
+    if not (
+        getattr(args, "data_parallel", 0)
+        or getattr(args, "model_parallel", 0)
+        or pp
+    ):
         return None
     import jax
 
     from xai_audio_deepfakes_tpu.config import MeshConfig
     from xai_audio_deepfakes_tpu.parallel.mesh import make_mesh
+
+    if pp > 1 and args.model_parallel > 1:
+        raise SystemExit(
+            "--pipeline-stages and --model-parallel are exclusive: the "
+            "embedder stack shards either over 'model' (tensor) or 'stage' "
+            "(pipeline), not both"
+        )
+    if pp > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        dp = args.data_parallel or max(1, len(jax.devices()) // pp)
+        if dp * pp > len(jax.devices()):
+            raise SystemExit(
+                f"--data-parallel {dp} x --pipeline-stages {pp} needs "
+                f"{dp * pp} devices, have {len(jax.devices())}"
+            )
+        return Mesh(
+            _np.asarray(jax.devices()[: dp * pp]).reshape(dp, pp),
+            ("data", "stage"),
+        )
 
     mp = args.model_parallel or 1
     dp = args.data_parallel or max(1, len(jax.devices()) // mp)
@@ -302,11 +335,13 @@ def cmd_train(args):
 
     # fail fast on bad flags/paths BEFORE the expensive model build
     mesh = _mesh_from_args(args)
-    if mesh is not None and args.batch_size % mesh.devices.shape[0]:
-        raise SystemExit(
-            f"--batch-size {args.batch_size} must be a multiple of "
-            f"data-parallel={mesh.devices.shape[0]}"
-        )
+    if mesh is not None:
+        need = mesh.devices.shape[0] * int(mesh.shape.get("stage", 1))
+        if args.batch_size % need:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be a multiple of "
+                f"data-parallel x stages = {need}"
+            )
     pipe, params = _build_pipeline(args)
     paths = extract_wavs(args.metadata)
     if args.limit:
@@ -386,10 +421,13 @@ def cmd_eval(args):
     drop = False
     if mesh is not None:
         dp = mesh.devices.shape[0]
-        if args.batch_size % dp:
+        # a 'stage' mesh additionally splits each per-dp slice into PP
+        # microbatches, so the batch must divide by dp x stages
+        need = dp * int(mesh.shape.get("stage", 1))
+        if args.batch_size % need:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must be a multiple of "
-                f"data-parallel={dp}"
+                f"data-parallel x stages = {need}"
             )
         if len(paths) % args.batch_size:
             drop = True  # ragged tail can't shard over 'data'

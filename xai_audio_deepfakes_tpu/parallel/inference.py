@@ -15,6 +15,8 @@ chip runs its slice.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 from jax.sharding import Mesh
 
@@ -22,22 +24,31 @@ from xai_audio_deepfakes_tpu.config import MaskingConvention, MeshConfig
 from xai_audio_deepfakes_tpu.parallel.mesh import batch_sharding
 from xai_audio_deepfakes_tpu.parallel.sharding import (
     embedder_param_specs,
+    embedder_pp_param_specs,
     shard_params,
 )
+
+
+def _pp_stages(mesh: Mesh, stage_axis: str = "stage") -> int:
+    return int(mesh.shape.get(stage_axis, 1))
 
 
 def shard_pipeline_params(
     pipe, params: dict, mesh: Mesh, mesh_cfg: MeshConfig | None = None
 ) -> dict:
     """Place the full pipeline param tree on the mesh: embedder under its
-    tensor-parallel specs, everything else replicated."""
+    tensor-parallel specs ('model' axis) or pipeline specs (layer stack
+    over 'stage'), everything else replicated."""
     mesh_cfg = mesh_cfg or pipe.cfg.mesh
     out = {}
     for key, tree in params.items():
         if key == "encoder":
-            out[key] = shard_params(
-                tree, mesh, embedder_param_specs(tree, mesh_cfg)
+            specs = (
+                embedder_pp_param_specs(tree, _pp_stages(mesh))
+                if _pp_stages(mesh) > 1
+                else embedder_param_specs(tree, mesh_cfg)
             )
+            out[key] = shard_params(tree, mesh, specs)
         else:
             out[key] = shard_params(tree, mesh)
     return out
@@ -58,6 +69,27 @@ def make_sharded_explain(
     mesh_cfg = mesh_cfg or pipe.cfg.mesh
     sharded = shard_pipeline_params(pipe, params, mesh, mesh_cfg)
     data = batch_sharding(mesh, mesh_cfg)
+
+    if _pp_stages(mesh) > 1:
+        # pipeline-parallel embedder: the layer stack rotates over 'stage'
+        # (shard_map + ppermute, parallel/pipeline.py) inside the one
+        # jitted explain graph; everything else stays GSPMD-placed.
+        from xai_audio_deepfakes_tpu.parallel.pipeline import (
+            pipelined_encoder_apply,
+        )
+
+        if not pipe.cfg.embedder.scan_layers:
+            raise ValueError(
+                "pipeline-parallel explain needs scan_layers=True "
+                "(stacked [L, ...] layer params)"
+            )
+        pipe = dataclasses.replace(
+            pipe,
+            features_fn=lambda enc_params, norm_wav: pipelined_encoder_apply(
+                pipe.cfg.embedder, enc_params, norm_wav, mesh,
+                data_axis=mesh_cfg.data_axis,
+            ),
+        )
 
     fn = jax.jit(
         lambda p, wav: pipe.explain(p, wav, decoder, masking),

@@ -48,6 +48,31 @@ def embedder_param_specs(params: dict, cfg: MeshConfig = MeshConfig()):
     )
 
 
+def embedder_pp_param_specs(
+    params: dict, n_stages: int = 0, stage_axis: str = "stage"
+):
+    """Pipeline-parallel placement for a scan-layers encoder tree: the
+    stacked transformer-layer params ('layers/layer', leading [L] axis)
+    shard over `stage_axis`; the conv frontend / projection / pos-conv stay
+    replicated (they run before the pipeline rotation). When the full stack
+    length L is not divisible by the stage count (a truncated readout like
+    `output_layer < num_layers` slices the stack before the rotation), the
+    stack stays replicated and `pipeline_apply`'s shard_map reshards the
+    sliced [:output_layer] block instead."""
+
+    def spec(path, leaf):
+        names = "/".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        if "layers/layer" in names and (
+            n_stages and leaf.shape[0] % n_stages == 0
+        ):
+            return P(stage_axis, *([None] * (leaf.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def shard_params(params: dict, mesh: Mesh, specs=None) -> dict:
     """Place a param tree on the mesh (replicated unless a spec says otherwise)."""
     if specs is None:

@@ -60,6 +60,11 @@ class ExplainOutput(NamedTuple):
 @dataclasses.dataclass(frozen=True)
 class ADDvisorPipeline:
     cfg: PipelineConfig = PipelineConfig()
+    # optional embedder-forward override (normalized wav [B, L] + encoder
+    # param tree -> features [B, T, H]); lets the parallel layer swap in the
+    # pipeline-parallel encoder (`parallel/inference.py`) without the
+    # pipeline knowing about meshes. None -> plain encoder.apply.
+    features_fn: Any = dataclasses.field(default=None, compare=False)
 
     @property
     def encoder(self) -> Wav2Vec2Encoder:
@@ -110,7 +115,10 @@ class ADDvisorPipeline:
     def features(self, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
         """wav [B, L] -> SSL features [B, T, H]
         (`audioprocessor.extract_features`: norm then hidden_states[9])."""
-        return self.encoder.apply(params["encoder"], zero_mean_unit_var_norm(wav))
+        norm = zero_mean_unit_var_norm(wav)
+        if self.features_fn is not None:
+            return self.features_fn(params["encoder"], norm)
+        return self.encoder.apply(params["encoder"], norm)
 
     def classify_features(self, params: dict, feats: jnp.ndarray):
         """feats [B, T, H] -> (logits, probs) [B, 1] via time mean-pool

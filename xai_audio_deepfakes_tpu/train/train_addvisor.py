@@ -88,7 +88,14 @@ def make_train_step(
     cfg = pipe.cfg
 
     def classify_wav(frozen, wav):
-        feats = pipe.encoder.apply(frozen["encoder"], zero_mean_unit_var_norm(wav))
+        norm = zero_mean_unit_var_norm(wav)
+        # honor a pipeline-parallel (or otherwise overridden) encoder
+        # forward, mirroring ADDvisorPipeline.features
+        feats = (
+            pipe.features_fn(frozen["encoder"], norm)
+            if pipe.features_fn is not None
+            else pipe.encoder.apply(frozen["encoder"], norm)
+        )
         logits, _ = logreg_apply(frozen["logreg"], jnp.mean(feats, axis=1))
         return logits
 
@@ -168,31 +175,57 @@ def train_addvisor(
     # arrays (shared with state.unet_params at init) survive
     state = jax.tree.map(jnp.copy, state)
     frozen = {"encoder": params["encoder"], "logreg": params["logreg"]}
-    step_fn = make_train_step(pipe, tx_model, tx_w)
 
     if mesh is not None:
+        import dataclasses
+
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from xai_audio_deepfakes_tpu.parallel.sharding import (
             embedder_param_specs,
+            embedder_pp_param_specs,
             shard_params,
         )
+
+        stages = int(mesh.shape.get("stage", 1))
+        if stages > 1:
+            # pipeline-parallel embedder: all 3 per-step embeds (clean +
+            # relevant + irrelevant; the latter two inside the loss grad)
+            # rotate microbatches through the 'stage'-sharded layer stack
+            # (shard_map + ppermute, differentiable — gradient parity pinned
+            # in tests/test_pipeline_parallel.py)
+            from xai_audio_deepfakes_tpu.parallel.pipeline import (
+                pipelined_encoder_apply,
+            )
+
+            if not cfg.embedder.scan_layers:
+                raise ValueError(
+                    "pipeline-parallel training needs scan_layers=True "
+                    "(stacked [L, ...] layer params)"
+                )
+            pipe = dataclasses.replace(
+                pipe,
+                features_fn=lambda enc, norm: pipelined_encoder_apply(
+                    cfg.embedder, enc, norm, mesh,
+                    data_axis=cfg.mesh.data_axis,
+                ),
+            )
+            enc_specs = embedder_pp_param_specs(frozen["encoder"], stages)
+        else:
+            # frozen embedder tensor-shards over 'model' (Megatron specs)
+            enc_specs = embedder_param_specs(frozen["encoder"], cfg.mesh)
 
         rep = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(cfg.mesh.data_axis))
         state = jax.device_put(state, rep)
-        # frozen embedder tensor-shards over 'model' (Megatron specs);
-        # detector head replicates
         frozen = {
-            "encoder": shard_params(
-                frozen["encoder"],
-                mesh,
-                embedder_param_specs(frozen["encoder"], cfg.mesh),
-            ),
+            "encoder": shard_params(frozen["encoder"], mesh, enc_specs),
             "logreg": shard_params(frozen["logreg"], mesh),
         }
+        step_fn = make_train_step(pipe, tx_model, tx_w)
         jit_step = jax.jit(step_fn, in_shardings=(rep, None, data), donate_argnums=(0,))
     else:
+        step_fn = make_train_step(pipe, tx_model, tx_w)
         jit_step = jax.jit(step_fn, donate_argnums=(0,))
 
     num_epochs = cfg.train.num_epochs if num_epochs is None else num_epochs
