@@ -34,9 +34,15 @@ def _assert_cpu():
     assert jax.device_count() == 8, jax.devices()
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture
+def rng(request):
+    # Function-scoped with a seed derived (stably — crc32, not the salted
+    # builtin hash) from the test id: every test sees the same data no matter
+    # which subset or order of the suite runs, so no test can flake because
+    # an earlier test advanced a shared stream.
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 @pytest.fixture(scope="session")
