@@ -656,9 +656,55 @@ def cmd_profile(args):
     print(json.dumps(summary))
 
 
+def cmd_export(args):
+    """AOT-compile the explain graph and write a self-contained serving
+    artifact (StableHLO + weights + meta) — see `serve/export.py`."""
+    from xai_audio_deepfakes_tpu.serve.export import save_exported
+
+    pipe, params = _build_pipeline(args)
+    platforms = tuple(args.platforms.split(","))
+    out = save_exported(
+        args.out,
+        pipe,
+        params,
+        batch_size=args.batch_size,
+        decoder=args.decoder,
+        masking=args.masking,
+        platforms=platforms,
+    )
+    sizes = {
+        f: os.path.getsize(os.path.join(out, f)) for f in sorted(os.listdir(out))
+    }
+    print(json.dumps({"artifact": out, "platforms": list(platforms),
+                      "batch_size": args.batch_size, "files": sizes}))
+    return 0
+
+
 def cmd_serve_api(args):
     from xai_audio_deepfakes_tpu.serve.api import serve_api
 
+    if args.exported:
+        from xai_audio_deepfakes_tpu.config import PipelineConfig
+        from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+        from xai_audio_deepfakes_tpu.serve.export import load_exported
+
+        art = load_exported(args.exported)
+        pipe = ADDvisorPipeline(PipelineConfig())
+        if art.num_samples != pipe.cfg.audio.num_samples:
+            raise SystemExit(
+                f"artifact clip length {art.num_samples} != pipeline contract "
+                f"{pipe.cfg.audio.num_samples}"
+            )
+        serve_api(
+            pipe,
+            art.params,
+            port=args.port,
+            batch_size=art.batch_size,
+            linger_ms=args.linger_ms,
+            decoder=art.meta.get("decoder", "unet"),
+            explain_fn=lambda p, w: art._exported.call(p, w),
+        )
+        return
     pipe, params = _build_pipeline(args)
     serve_api(
         pipe,
@@ -793,7 +839,25 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--decoder", default="unet", choices=["unet", "features"])
     p.add_argument("--linger-ms", type=float, default=5.0)
+    p.add_argument(
+        "--exported", default="",
+        help="serve from an AOT artifact dir written by `export` (no model "
+             "code or tracing; batch size/decoder come from its meta.json)",
+    )
     p.set_defaults(fn=cmd_serve_api)
+
+    p = sub.add_parser(
+        "export",
+        help="AOT-compile + serialize the explain graph (StableHLO artifact)",
+    )
+    _common(p)
+    p.add_argument("--decoder", default="unet", choices=["unet", "features"])
+    p.add_argument("--masking", default="log1p", choices=["linear", "log1p"])
+    p.add_argument(
+        "--platforms", default="tpu,cpu",
+        help="comma-separated lowering platforms baked into the artifact",
+    )
+    p.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)
     # int8 quantization is serving-only: jnp.round has zero gradient, so any

@@ -67,13 +67,16 @@ class ExplainService:
         batch_size: int = 8,
         linger_ms: float = 5.0,
         decoder: str = "unet",
+        explain_fn=None,
     ):
         self.pipe = pipe
         self.params = params
         self.batch_size = int(batch_size)
         self.linger_s = float(linger_ms) / 1e3
         self.decoder = decoder
-        self._explain = pipe.jit_explain(decoder=decoder)
+        # explain_fn overrides the jitted program — e.g. an AOT-exported
+        # artifact (`serve/export.py`) serving with no tracing at all
+        self._explain = explain_fn or pipe.jit_explain(decoder=decoder)
         self._queue: "queue.Queue[_Request | None]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_rows": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -107,7 +110,14 @@ class ExplainService:
         the coalesced batch completes; raises on worker-side failure."""
         req = _Request(np.asarray(wav, np.float32))
         self._queue.put(req)
-        out = req.mailbox.get(timeout=timeout)
+        try:
+            out = req.mailbox.get(timeout=timeout)
+        except queue.Empty:
+            raise TimeoutError(
+                f"explain batch did not complete within {timeout}s "
+                "(device stall, or first-dispatch compile/transfer cost — "
+                "warm the service before accepting traffic)"
+            ) from None
         if isinstance(out, Exception):
             raise out
         return out
@@ -273,13 +283,14 @@ def serve_api(
     batch_size: int = 8,
     linger_ms: float = 5.0,
     decoder: str = "unet",
+    explain_fn=None,
 ):
     """Blocking server entry point (used by `cli serve-api`). Returns the
     (server, service) pair when port=0 is used programmatically via
     `start_api_server` instead."""
     server, service = start_api_server(
         pipe, params, port=port, batch_size=batch_size,
-        linger_ms=linger_ms, decoder=decoder,
+        linger_ms=linger_ms, decoder=decoder, explain_fn=explain_fn,
     )
     print(
         f"explain API on http://0.0.0.0:{server.server_address[1]} "
@@ -298,13 +309,15 @@ def start_api_server(
     batch_size: int = 8,
     linger_ms: float = 5.0,
     decoder: str = "unet",
+    explain_fn=None,
 ):
     """Non-blocking: warm-compile, start the batcher + HTTP server threads,
     return (ThreadingHTTPServer, ExplainService)."""
     import http.server
 
     service = ExplainService(
-        pipe, params, batch_size=batch_size, linger_ms=linger_ms, decoder=decoder
+        pipe, params, batch_size=batch_size, linger_ms=linger_ms,
+        decoder=decoder, explain_fn=explain_fn,
     ).start()
     server = http.server.ThreadingHTTPServer(
         ("0.0.0.0", port), make_handler(service)
