@@ -662,7 +662,7 @@ def cmd_export(args):
     from xai_audio_deepfakes_tpu.serve.export import save_exported
 
     pipe, params = _build_pipeline(args)
-    platforms = tuple(args.platforms.split(","))
+    platforms = tuple(p for p in args.platforms.split(",") if p) or None
     out = save_exported(
         args.out,
         pipe,
@@ -675,7 +675,8 @@ def cmd_export(args):
     sizes = {
         f: os.path.getsize(os.path.join(out, f)) for f in sorted(os.listdir(out))
     }
-    print(json.dumps({"artifact": out, "platforms": list(platforms),
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    print(json.dumps({"artifact": out, "platforms": meta["platforms"],
                       "batch_size": args.batch_size, "files": sizes}))
     return 0
 
@@ -854,8 +855,10 @@ def main(argv=None):
     p.add_argument("--decoder", default="unet", choices=["unet", "features"])
     p.add_argument("--masking", default="log1p", choices=["linear", "log1p"])
     p.add_argument(
-        "--platforms", default="tpu,cpu",
-        help="comma-separated lowering platforms baked into the artifact",
+        "--platforms", default="",
+        help="comma-separated lowering platforms baked into the artifact "
+             "(default: the current backend; multi-platform requires an "
+             "attention path every platform can lower — see serve/export.py)",
     )
     p.set_defaults(fn=cmd_export)
 

@@ -99,16 +99,36 @@ def export_explain(
     batch_size: int,
     decoder: str = "unet",
     masking: MaskingConvention | str | None = None,
-    platforms: tuple[str, ...] = ("tpu", "cpu"),
+    platforms: tuple[str, ...] | None = None,
 ) -> bytes:
     """Lower + serialize `pipe.explain` at a fixed batch size.
 
-    Returns the versioned `jax.export` blob. The exported callable has
-    signature (params, wav[batch, num_samples]) -> ExplainOutput tuple.
+    `platforms=None` exports for the current backend. Returns the versioned
+    `jax.export` blob. The exported callable has signature
+    (params, wav[batch, num_samples]) -> ExplainOutput tuple.
     """
     from jax import export as jax_export
 
     _ensure_registered()
+    if platforms is None:
+        platforms = (jax.default_backend(),)
+    # The encoder picks its attention implementation at TRACE time
+    # (`models/wav2vec2.EncoderLayer`: Pallas fused kernel iff the backend is
+    # TPU), so a trace taken on TPU contains a TPU-only kernel and cannot
+    # lower for other platforms. Fail with the workaround instead of a
+    # cryptic Mosaic lowering error.
+    if (
+        pipe.cfg.embedder.fused_attention
+        and jax.default_backend() == "tpu"
+        and any(p != "tpu" for p in platforms)
+    ):
+        raise ValueError(
+            f"platforms {platforms} requested, but tracing on the TPU "
+            "backend bakes the Pallas fused-attention kernel (TPU-only) "
+            "into the graph. Export per-platform artifacts instead: "
+            "--platforms tpu here, and a CPU artifact from a CPU-pinned "
+            "process (cli --platform cpu export --platforms cpu)."
+        )
     masking = MaskingConvention(masking) if masking is not None else None
     fn = jax.jit(lambda p, w: pipe.explain(p, w, decoder=decoder, masking=masking))
     n = pipe.cfg.audio.num_samples
@@ -127,10 +147,12 @@ def save_exported(
     batch_size: int,
     decoder: str = "unet",
     masking: MaskingConvention | str | None = None,
-    platforms: tuple[str, ...] = ("tpu", "cpu"),
+    platforms: tuple[str, ...] | None = None,
 ) -> str:
     """Write a self-contained serving artifact directory; returns its path."""
     os.makedirs(out_dir, exist_ok=True)
+    if platforms is None:
+        platforms = (jax.default_backend(),)
     blob = export_explain(pipe, params, batch_size, decoder, masking, platforms)
     with open(os.path.join(out_dir, _GRAPH_FILE), "wb") as f:
         f.write(blob)
