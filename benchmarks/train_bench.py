@@ -53,7 +53,15 @@ def main() -> None:
         scan_layers=scan,
         remat_policy=policy,
     )
-    cfg = PipelineConfig(embedder=emb)
+    from xai_audio_deepfakes_tpu.config import TrainConfig
+
+    # TRAIN_TARGET_QUANT=int8 TRAIN_TARGET_GELU=tanh: serving-grade fast
+    # paths for the gradient-free target embed (TrainConfig.target_quant)
+    train_cfg = TrainConfig(
+        target_quant=os.environ.get("TRAIN_TARGET_QUANT", "none"),
+        target_gelu=os.environ.get("TRAIN_TARGET_GELU", "exact"),
+    )
+    cfg = PipelineConfig(embedder=emb, train=train_cfg)
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(0))
 

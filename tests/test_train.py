@@ -310,3 +310,40 @@ def test_graft_dryrun_multichip_inprocess():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_target_quant_fast_path(setup):
+    """TrainConfig.target_quant runs the gradient-free target embed through
+    the int8/tanh serving path; the differentiated graph is untouched, so
+    the step's loss stays within target-quantization noise of the exact
+    step and the updated UNet params stay close."""
+    import dataclasses
+
+    pipe, params, wav = setup
+    cfg = dataclasses.replace(
+        pipe.cfg,
+        train=dataclasses.replace(
+            pipe.cfg.train, target_quant="int8", target_gelu="tanh"
+        ),
+    )
+    fast_pipe = ADDvisorPipeline(cfg)
+    tx_m, tx_w = make_optimizers(cfg)
+    frozen = {"encoder": params["encoder"], "logreg": params["logreg"]}
+
+    state_exact = init_train_state(pipe, params, tx_m, tx_w)
+    state_fast = init_train_state(fast_pipe, params, tx_m, tx_w)
+    out_exact, aux_exact = jax.jit(make_train_step(pipe, tx_m, tx_w))(
+        state_exact, frozen, wav
+    )
+    out_fast, aux_fast = jax.jit(make_train_step(fast_pipe, tx_m, tx_w))(
+        state_fast, frozen, wav
+    )
+    assert np.isfinite(float(aux_fast["loss"]))
+    # only the BCE target y_hat differs (by int8 noise on the clean probs)
+    np.testing.assert_allclose(
+        float(aux_fast["loss"]), float(aux_exact["loss"]), rtol=0.05
+    )
+    leaves_e = jax.tree_util.tree_leaves(out_exact.unet_params)
+    leaves_f = jax.tree_util.tree_leaves(out_fast.unet_params)
+    for a, b in zip(leaves_e, leaves_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

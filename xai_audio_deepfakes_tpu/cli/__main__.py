@@ -28,7 +28,11 @@ import numpy as np
 def _build_pipeline(args):
     import jax
 
-    from xai_audio_deepfakes_tpu.config import EmbedderConfig, PipelineConfig
+    from xai_audio_deepfakes_tpu.config import (
+        EmbedderConfig,
+        PipelineConfig,
+        TrainConfig,
+    )
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
     cfg = PipelineConfig(
@@ -39,6 +43,10 @@ def _build_pipeline(args):
             remat_policy=getattr(args, "remat_policy", "full"),
             quant=getattr(args, "quant", "none"),
             gelu=getattr(args, "gelu", "exact"),
+        ),
+        train=TrainConfig(
+            target_quant=getattr(args, "target_quant", "none"),
+            target_gelu=getattr(args, "target_gelu", "exact"),
         ),
     )
     pipe = ADDvisorPipeline(cfg)
@@ -761,6 +769,17 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out/ckpts")
+    p.add_argument(
+        "--target-quant", default="none", choices=["none", "int8"],
+        help="int8 MXU matmuls for the gradient-free target embed only "
+             "(the collate-stage clean forward that produces y_hat); the "
+             "differentiated graph stays exact. Measured +3%% step "
+             "throughput; targets shift by quantization noise only.",
+    )
+    p.add_argument(
+        "--target-gelu", default="exact", choices=["exact", "tanh"],
+        help="tanh GELU for the target embed only (see --target-quant)",
+    )
     _mesh_flags(p)
     p.set_defaults(fn=cmd_train)
 

@@ -288,6 +288,13 @@ class TrainConfig:
     artifact_dir: str = "explanations"
     checkpoint_every: int = 1
     donate_buffers: bool = True
+    # The collate-stage clean embed only produces the (stop-gradient) target
+    # y_hat (`train_addvisor.py:253-255` runs it under the loader, outside
+    # the autograd graph) — so it can safely run the serving-grade fast paths
+    # (int8 MXU matmuls / tanh GELU) without touching what is differentiated.
+    # Targets shift by quantization noise only; default stays exact.
+    target_quant: str = "none"  # "none" | "int8"
+    target_gelu: str = "exact"  # "exact" | "tanh"
 
 
 @dataclass(frozen=True)

@@ -11,9 +11,10 @@
     batch's `probs_rel` instead of the accumulated scores,
     `captum_saliency.py:204-210`) is fixed: counting covers ALL files.
 
-Both harnesses run one jitted program per batch and accumulate on host;
-across a mesh the batch axis shards over 'data' so the sweep scales with
-chips (config 5 of BASELINE.json).
+Both harnesses run one jitted program per batch, reduce each batch to a few
+scalars on device, and fold those on the host — eval memory is O(1) in
+clips. Across a mesh the batch axis shards over 'data' so the sweep scales
+with chips (config 5 of BASELINE.json).
 """
 
 from __future__ import annotations
@@ -99,30 +100,38 @@ def run_attribution_metrics(
         _, p_irr = pipe.classify(params, irr_wav)
         return p_clean, p_rel, p_irr
 
-    clean, rel, irr = [], [], []
-    for wav in batches:
-        p_clean, p_rel, p_irr = step(params, jnp.asarray(wav))
-        clean.append(np.asarray(p_clean))
-        rel.append(np.asarray(p_rel))
-        irr.append(np.asarray(p_irr))
-    clean_a = jnp.asarray(np.concatenate(clean))
-    rel_a = jnp.asarray(np.concatenate(rel))
-    irr_a = jnp.asarray(np.concatenate(irr))
-    result = {
-        "method": method,
-        "faithfulness": float(jnp.mean(compute_faithfulness(clean_a, irr_a))),
-        "fidelity": float(jnp.mean(compute_fidelity(rel_a, clean_a))),
+    # device-side fold (mirrors run_explanation_metrics): each batch reduces
+    # to three scalars on device, so eval memory is O(1) in clips and only
+    # scalars cross to the host — the reference instead keeps every
+    # probability (`captum_saliency.py:169-192`)
+    @jax.jit
+    def fold(p_clean, p_rel, p_irr):
+        ff = jnp.sum(compute_faithfulness(p_clean, p_irr))
+        fid = jnp.sum(compute_fidelity(p_rel, p_clean))
         # fixed vs `captum_saliency.py:204-210`: count over ALL files;
         # "manipulated" decided under the pipeline's configured polarity
-        "relevant_classified_manipulated": int(
-            np.sum(
-                manipulated_probability(
-                    np.asarray(rel_a)[:, 0], pipe.cfg.polarity
-                )
-                >= 0.5
-            )
-        ),
-        "num_clips": int(clean_a.shape[0]),
+        manip = jnp.sum(
+            (manipulated_probability(p_rel[:, 0], pipe.cfg.polarity) >= 0.5)
+            .astype(jnp.int32)
+        )
+        return ff, fid, manip
+
+    ff_sum = fid_sum = 0.0
+    manip_count = n_clips = 0
+    for wav in batches:
+        p_clean, p_rel, p_irr = step(params, jnp.asarray(wav))
+        ff, fid, manip = fold(p_clean, p_rel, p_irr)
+        ff_sum += float(ff)
+        fid_sum += float(fid)
+        manip_count += int(manip)
+        n_clips += int(p_clean.shape[0])
+    denom = max(n_clips, 1)
+    result = {
+        "method": method,
+        "faithfulness": ff_sum / denom,
+        "fidelity": fid_sum / denom,
+        "relevant_classified_manipulated": manip_count,
+        "num_clips": n_clips,
     }
     if log_fn is not None:
         log_fn({"attribution_metrics": result})

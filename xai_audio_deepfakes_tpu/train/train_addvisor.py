@@ -87,6 +87,36 @@ def make_train_step(
     """
     cfg = pipe.cfg
 
+    # Optional fast path for the target-producing clean embed (see
+    # TrainConfig.target_quant): a second encoder module over the SAME params
+    # (Int8Dense is nn.Dense param-compatible), used only in the collate
+    # stage where no gradient flows. Not combined with a pipeline-parallel
+    # features_fn override (that path owns the encoder forward).
+    target_encoder = None
+    if (
+        (cfg.train.target_quant != "none" or cfg.train.target_gelu != "exact")
+        and pipe.features_fn is None
+    ):
+        import dataclasses as _dc
+
+        from xai_audio_deepfakes_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+        target_encoder = Wav2Vec2Encoder(
+            _dc.replace(
+                cfg.embedder,
+                quant=cfg.train.target_quant,
+                gelu=cfg.train.target_gelu,
+            )
+        )
+
+    def classify_wav_target(frozen, wav):
+        if target_encoder is None:
+            return classify_wav(frozen, wav)
+        norm = zero_mean_unit_var_norm(wav)
+        feats = target_encoder.apply(frozen["encoder"], norm)
+        logits, _ = logreg_apply(frozen["logreg"], jnp.mean(feats, axis=1))
+        return logits
+
     def classify_wav(frozen, wav):
         norm = zero_mean_unit_var_norm(wav)
         # honor a pipeline-parallel (or otherwise overridden) encoder
@@ -102,7 +132,7 @@ def make_train_step(
     def step(state: AddvisorTrainState, frozen: dict, wav: jnp.ndarray):
         # --- collate stage (`train_addvisor.py:247-260`), now on-device ---
         _, _, mag, phase = pipe.spectrogram(wav)
-        yhat_logits = classify_wav(frozen, wav)
+        yhat_logits = classify_wav_target(frozen, wav)
         class_pred = jax.nn.sigmoid(jax.lax.stop_gradient(yhat_logits))
         mag_c = crop_spec(mag, cfg.unet.freq_bins, cfg.unet.frames)
 
