@@ -34,3 +34,28 @@ cli       command-line entry points
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level exports: `from xai_audio_deepfakes_tpu import ADDvisorPipeline,
+# PipelineConfig` without importing jax/flax at package-import time (keeping
+# `import xai_audio_deepfakes_tpu` side-effect-free and instant, unlike the
+# reference's import-time 2B-model load).
+_LAZY = {
+    "ADDvisorPipeline": ("xai_audio_deepfakes_tpu.pipeline.core", "ADDvisorPipeline"),
+    "PipelineConfig": ("xai_audio_deepfakes_tpu.config", "PipelineConfig"),
+    "EmbedderConfig": ("xai_audio_deepfakes_tpu.config", "EmbedderConfig"),
+    "MaskingConvention": ("xai_audio_deepfakes_tpu.config", "MaskingConvention"),
+    "LabelPolarity": ("xai_audio_deepfakes_tpu.config", "LabelPolarity"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
