@@ -269,3 +269,25 @@ def test_xcorr_alignment(rng):
     ref_a, deg_a = align_waveforms(x, delayed)
     assert ref_a.shape == deg_a.shape
     np.testing.assert_allclose(ref_a, deg_a, atol=1e-5)
+
+
+def test_write_wav_fallback_multichannel_matches_native_convention(
+    tmp_path, rng, monkeypatch
+):
+    """write_wav's scipy fallback must treat 2-D input as [C, L]
+    channels-first — the layout load_audio/read_wav_native return and the
+    native encoder interleaves — not scipy's [frames, channels]."""
+    from xai_audio_deepfakes_tpu.data import native_io
+    from xai_audio_deepfakes_tpu.data.io import read_wav, write_wav
+
+    stereo = np.clip(
+        (rng.standard_normal((2, 500)) * 0.3).astype(np.float32), -0.99, 0.99
+    )
+    monkeypatch.setattr(native_io, "write_wav_native", lambda *a: False)
+    p = str(tmp_path / "st.wav")
+    write_wav(p, stereo, 16000)
+    back, sr = read_wav(p)
+    assert sr == 16000
+    assert back.shape == (2, 500)
+    # int16 truncation + the encode x32767 / decode /32768 scale mismatch
+    np.testing.assert_allclose(back, stereo, rtol=0, atol=2e-4)

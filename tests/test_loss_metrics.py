@@ -192,3 +192,14 @@ def test_summarize_sums_fold_matches_summarize(rng):
     assert folded["num_clips"] == 10
     for k, v in ref.items():
         np.testing.assert_allclose(folded[k], v, rtol=1e-5)
+
+
+def test_merge_summaries_empty_is_clear_error():
+    """Zero batches (everything dropped by drop_remainder / empty metadata)
+    must raise a readable ValueError, not zip()'s TypeError."""
+    import pytest
+
+    from xai_audio_deepfakes_tpu.metrics.lmac_metrics import merge_summaries
+
+    with pytest.raises(ValueError, match="no batches"):
+        merge_summaries([])

@@ -221,3 +221,30 @@ def test_pipeline_validation_errors(stacked):
         pipeline_apply(
             encoder_layer_fn(cfg), layer_params, x, mesh, n_micro=3
         )
+
+
+def test_pipeline_remat_matches_and_grads(stacked):
+    """`cfg.remat` must work under PP too (the full-2B `--pipeline-stages
+    --remat` contingency): encoder_layer_fn wraps the layer in
+    jax.checkpoint, and outputs AND grads match the non-remat pipeline."""
+    cfg, layer_params, x = stacked
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(2, 4), ("data", "stage")
+    )
+    fn_plain = encoder_layer_fn(cfg)
+    for policy in ("full", "dots"):
+        cfg_r = dataclasses.replace(cfg, remat=True, remat_policy=policy)
+        fn_remat = encoder_layer_fn(cfg_r)
+
+        def loss(fn, p, x):
+            return jnp.sum(pipeline_apply(fn, p, x, mesh, n_micro=4) ** 2)
+
+        want = jax.grad(lambda p: loss(fn_plain, p, x))(layer_params)
+        got = jax.grad(lambda p: loss(fn_remat, p, x))(layer_params)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3
+            )
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        encoder_layer_fn(dataclasses.replace(cfg, remat=True, remat_policy="x"))

@@ -302,3 +302,47 @@ def test_full_width_hidden_states_parity(rng):
         Wav2Vec2Encoder(fused_cfg).apply(params, jnp.asarray(wav))
     )
     np.testing.assert_allclose(fused, ref, atol=5e-4)
+
+
+def test_int8_posconv_batch_independent(rng):
+    """A clip's int8 pos-conv output must not depend on its batch
+    neighbors: the serve-api batcher coalesces unrelated requests, so the
+    activation scale must be per-SAMPLE, not whole-tensor (a whole-tensor
+    max would let the 300x-louder neighbor coarsen this clip's
+    quantization by 300x). Bitwise check at module level."""
+    import dataclasses
+
+    from xai_audio_deepfakes_tpu.models.wav2vec2 import PositionalConvEmbedding
+
+    mod = PositionalConvEmbedding(dataclasses.replace(TINY, quant="int8"))
+    a = rng.standard_normal((1, 12, TINY.hidden_size)).astype(np.float32)
+    loud = a * 0 + rng.standard_normal((1, 12, TINY.hidden_size)).astype(
+        np.float32
+    ) * 300.0
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(a))
+    alone = np.asarray(mod.apply(params, jnp.asarray(a)))
+    co = np.asarray(mod.apply(params, jnp.asarray(np.concatenate([a, loud]))))
+    np.testing.assert_array_equal(alone, co[:1])
+
+
+def test_int8_encoder_batch_coupling_bounded(rng):
+    """End-to-end int8 batch coupling stays at quantization-step level.
+
+    All int8 scales are per-sample/per-token, so a co-batched clip cannot
+    change another clip's scales. What remains is XLA's batch-1-vs-batch-2
+    instruction selection (~1e-6 on the f32 path, measured) amplified by
+    round()'s discontinuity to at most a few int8 steps (~1/127 per
+    tensor) — bounded noise, NOT proportional to the neighbor's loudness."""
+    import dataclasses
+
+    enc8 = Wav2Vec2Encoder(dataclasses.replace(TINY, quant="int8"))
+    a = rng.standard_normal((1, 4000)).astype(np.float32) * 0.1
+    loud = rng.standard_normal((1, 4000)).astype(np.float32) * 30.0
+    params = enc8.init(jax.random.PRNGKey(0), jnp.asarray(a))
+
+    alone = np.asarray(enc8.apply(params, jnp.asarray(a)))
+    cobatched = np.asarray(
+        enc8.apply(params, jnp.asarray(np.concatenate([a, loud])))
+    )[:1]
+    scale = float(np.max(np.abs(alone)))
+    np.testing.assert_allclose(alone, cobatched, rtol=0, atol=0.05 * scale)

@@ -526,19 +526,25 @@ def cmd_embed(args):
         feats = pipe.features(params, wavs)
         pooled = jnp.mean(feats, axis=1)
         logits, probs = pipe.classify_features(params, feats)
-        return feats, pooled, logits, probs
+        # the hot loop keeps only the pooled outputs: returning the full
+        # [B, T, H] feature map here would force XLA to materialize it as
+        # an output buffer on every batch for a value only the optional
+        # first-batch PNG dump reads (it re-extracts via a separate jit)
+        return pooled, logits, probs
 
     feats_all, probs_all, names = [], [], []
     n = 0
     for wav in _batches(args, paths, pipe):
-        feats, pooled, logits, probs = embed(params, jnp.asarray(wav))
+        wavs = jnp.asarray(wav)
+        pooled, logits, probs = embed(params, wavs)
         if n == 0 and getattr(args, "features_png", False):
             # feature-map visual dump (`train_addvisor.py:59-94` plot_features)
             from xai_audio_deepfakes_tpu.train.artifacts import save_features_png
 
+            feats0 = jax.jit(pipe.features)(params, wavs[:1])
             os.makedirs(args.out, exist_ok=True)
             save_features_png(
-                np.asarray(feats[0]),
+                np.asarray(feats0[0]),
                 os.path.join(args.out, "features.png"),
                 title=os.path.basename(paths[0]),
             )

@@ -74,6 +74,10 @@ def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
         return
     import scipy.io.wavfile as wavfile
 
+    # match the native path's multichannel convention: [C, L] channels-first
+    # (the layout load_audio/read_wav_native return) -> scipy's [frames, ch]
+    if wav.ndim == 2:
+        wav = wav.T
     wavfile.write(path, sample_rate, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
 
 

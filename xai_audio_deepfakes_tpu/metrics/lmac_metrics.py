@@ -113,6 +113,14 @@ def summarize_sums(
 
 def merge_summaries(partials) -> dict:
     """[(sums, count), ...] -> the `summarize` dict + num_clips."""
+    partials = list(partials)
+    if not partials:
+        # e.g. every clip dropped by drop_remainder batching — fail with a
+        # clear message instead of zip(..., 0)'s TypeError
+        raise ValueError(
+            "no batches to summarize: the eval produced zero metric "
+            "partials (all clips dropped by batching, or empty metadata)"
+        )
     total = sum(float(c) for _, c in partials)
     acc = sum((jnp.asarray(s) for s, _ in partials))
     out = {k: float(v) / max(total, 1.0) for k, v in zip(METRIC_KEYS, acc)}

@@ -210,8 +210,9 @@ class _Int8GroupedConv(nn.Module):
     """Grouped conv1d with int8 x int8 -> int32 MXU contraction (serving
     path; measured 29.7 vs 36.3 ms bf16 at the 3x128 serving shape — the
     grouped conv maps less cleanly onto the int8 MXU than a dense matmul,
-    so the gain is ~1.2x, not 2x). Per-tensor activation scale (the kernel
-    mixes time steps, so per-token scales don't apply) + per-output-channel
+    so the gain is ~1.2x, not 2x). Per-sample activation scale (the kernel
+    mixes time steps, so per-token scales don't apply; per-sample keeps
+    each clip independent of its batch neighbors) + per-output-channel
     weight scale. Param tree ("kernel" [k, in/g, out], "bias" [out], both
     f32) is identical to nn.Conv, so HF imports work unchanged."""
 
@@ -232,7 +233,15 @@ class _Int8GroupedConv(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         xf = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        # per-SAMPLE scale (max over time+channels, not batch): the conv
+        # never mixes batch elements, and a whole-tensor scale would let a
+        # loud co-batched clip coarsen every other clip's quantization —
+        # the serve-api batcher coalesces unrelated requests, so each
+        # clip's output must not depend on its batch neighbors.
+        sx = (
+            jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2), keepdims=True), 1e-12)
+            / 127.0
+        )
         xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
         sw = (
             jnp.maximum(

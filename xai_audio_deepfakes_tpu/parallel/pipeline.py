@@ -212,12 +212,25 @@ def pipelined_encoder_apply(
 def encoder_layer_fn(cfg):
     """layer_fn for `pipeline_apply` wrapping one `EncoderLayer` — pass the
     scanned stack's params subtree (`params['params']['layers']['layer']`,
-    leading [L]) as `stacked_params`."""
+    leading [L]) as `stacked_params`. Honors `cfg.remat`/`cfg.remat_policy`
+    exactly like the non-pipelined `Wav2Vec2Encoder` paths — without it the
+    stage scan saves every layer's intermediates for backward and the full-2B
+    training step OOMs despite `--remat`."""
     from xai_audio_deepfakes_tpu.models.wav2vec2 import EncoderLayer
 
     layer = EncoderLayer(cfg)
 
     def layer_fn(p, x):
         return layer.apply({"params": p}, x)
+
+    if cfg.remat:
+        policy = (
+            jax.checkpoint_policies.checkpoint_dots
+            if cfg.remat_policy == "dots"
+            else None
+        )
+        if cfg.remat_policy not in ("full", "dots"):
+            raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r}")
+        layer_fn = jax.checkpoint(layer_fn, policy=policy)
 
     return layer_fn

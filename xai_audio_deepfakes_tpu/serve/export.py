@@ -117,17 +117,25 @@ def export_explain(
     # TPU), so a trace taken on TPU contains a TPU-only kernel and cannot
     # lower for other platforms. Fail with the workaround instead of a
     # cryptic Mosaic lowering error.
+    pallas_opts = [
+        name
+        for name, on in (
+            ("fused-attention", pipe.cfg.embedder.fused_attention),
+            ("fused-conv", pipe.cfg.embedder.fused_conv),
+        )
+        if on
+    ]
     if (
-        pipe.cfg.embedder.fused_attention
+        pallas_opts
         and jax.default_backend() == "tpu"
         and any(p != "tpu" for p in platforms)
     ):
         raise ValueError(
             f"platforms {platforms} requested, but tracing on the TPU "
-            "backend bakes the Pallas fused-attention kernel (TPU-only) "
-            "into the graph. Export per-platform artifacts instead: "
-            "--platforms tpu here, and a CPU artifact from a CPU-pinned "
-            "process (cli --platform cpu export --platforms cpu)."
+            f"backend bakes the Pallas {'/'.join(pallas_opts)} kernel(s) "
+            "(TPU-only) into the graph. Export per-platform artifacts "
+            "instead: --platforms tpu here, and a CPU artifact from a "
+            "CPU-pinned process (cli --platform cpu export --platforms cpu)."
         )
     masking = MaskingConvention(masking) if masking is not None else None
     fn = jax.jit(lambda p, w: pipe.explain(p, w, decoder=decoder, masking=masking))
