@@ -248,3 +248,79 @@ def test_pipeline_remat_matches_and_grads(stacked):
 
     with pytest.raises(ValueError, match="remat_policy"):
         encoder_layer_fn(dataclasses.replace(cfg, remat=True, remat_policy="x"))
+
+
+def _three_axis_mesh():
+    return Mesh(
+        np.asarray(jax.devices()).reshape(2, 2, 2), ("data", "stage", "model")
+    )
+
+
+def test_pipeline_composes_with_tensor_parallel(stacked):
+    """dp x pp x tp in one program: layer stack sharded over 'stage',
+    Megatron kernel dims over 'model' (auto/GSPMD inside the partially
+    manual shard_map), batch over 'data' — output matches the sequential
+    scan."""
+    from jax.sharding import NamedSharding
+
+    from xai_audio_deepfakes_tpu.config import MeshConfig
+    from xai_audio_deepfakes_tpu.parallel.sharding import (
+        embedder_pp_tp_param_specs,
+    )
+
+    cfg, layer_params, x = stacked
+    layer_fn = encoder_layer_fn(cfg)
+    want = _sequential(layer_fn, layer_params, x)
+
+    mesh = _three_axis_mesh()
+    specs = embedder_pp_tp_param_specs(
+        layer_params, MeshConfig(model_parallel=2)
+    )
+    placed = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        layer_params,
+        specs,
+    )
+    xp = jax.device_put(x, NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+
+    fn = jax.jit(
+        lambda p, x: pipeline_apply(layer_fn, p, x, mesh, n_micro=2)
+    )
+    got = fn(placed, xp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pipeline_tp_gradients_match_sequential(stacked):
+    """Training through dp x pp x tp: grads w.r.t. the stage+model-sharded
+    params match the sequential scan's."""
+    from jax.sharding import NamedSharding
+
+    from xai_audio_deepfakes_tpu.config import MeshConfig
+    from xai_audio_deepfakes_tpu.parallel.sharding import (
+        embedder_pp_tp_param_specs,
+    )
+
+    cfg, layer_params, x = stacked
+    layer_fn = encoder_layer_fn(cfg)
+    mesh = _three_axis_mesh()
+    specs = embedder_pp_tp_param_specs(
+        layer_params, MeshConfig(model_parallel=2)
+    )
+    placed = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        layer_params,
+        specs,
+    )
+
+    def loss_pp(p, x):
+        return jnp.sum(pipeline_apply(layer_fn, p, x, mesh, n_micro=2) ** 2)
+
+    def loss_seq(p, x):
+        return jnp.sum(_sequential(layer_fn, p, x) ** 2)
+
+    got = jax.jit(jax.grad(loss_pp))(placed, x)
+    want = jax.grad(loss_seq)(layer_params, x)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3
+        )

@@ -23,6 +23,16 @@ Composes with the 'data' axis: run on a ('data', 'stage') mesh and the
 microbatch tensors shard their batch dim over 'data' while params shard
 over 'stage' — dp×pp with zero code changes at the call site.
 
+Also composes with Megatron tensor parallelism ('model' axis,
+`parallel/sharding.py`): on a ('data', 'stage', 'model') mesh the
+shard_map is *partially manual* — manual over 'data'/'stage' (the
+microbatch rotation and ppermute), auto over 'model', so GSPMD applies
+the TP layout of the stage-sharded layer kernels
+(`embedder_pp_tp_param_specs`) inside the rotation and inserts the
+attention/FFN all-reduces itself. dp×pp×tp in one program. Partial-manual
+shard_map requires a jit context (enforced by the production entry
+points; the eager path raises in JAX otherwise).
+
 Everything is static-shape and trace-once: the tick loop is a `lax.scan`
 over the rotation schedule, bubbles are computed (wasted ticks on invalid
 microbatches) rather than branched, which is exactly how a TPU wants it —
@@ -95,12 +105,19 @@ def pipeline_apply(
 
     perm = [(i, (i + 1) % S) for i in range(S)]
 
+    # manual over the rotation axes only; any further mesh axis (e.g.
+    # 'model' for tensor parallelism) stays auto so GSPMD partitions the
+    # in-stage layer math over it (requires a jit context in JAX)
+    manual = {stage_axis} | ({data_axis} if data_axis in mesh.shape else set())
+    extra = {"axis_names": manual} if set(mesh.axis_names) - manual else {}
+
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(param_spec, micro_spec),
         out_specs=out_spec,
         check_vma=False,
+        **extra,
     )
     def run(params_block, micro_local):
         # per-device: params_block has leading [L/S]; micro_local is

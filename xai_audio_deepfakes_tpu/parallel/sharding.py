@@ -73,6 +73,26 @@ def embedder_pp_param_specs(
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def embedder_pp_tp_param_specs(
+    layer_params: dict,
+    mesh_cfg: MeshConfig = MeshConfig(),
+    stage_axis: str = "stage",
+):
+    """dp x pp x tp placement for a STACKED transformer-layer tree (the
+    `params['params']['layers']['layer']` subtree, leading [L] axis):
+    the layer axis shards over `stage_axis` (pipeline stages) and the
+    Megatron dims of each kernel shard over the model axis — consumed by
+    `pipeline_apply` on a ('data', 'stage', 'model') mesh, where the
+    'model' axis is left auto for GSPMD (see `parallel/pipeline.py`)."""
+    tp = embedder_param_specs(layer_params, mesh_cfg)
+
+    def merge(s):
+        t = tuple(s)
+        return P(stage_axis, *t[1:]) if t else P(stage_axis)
+
+    return jax.tree.map(merge, tp, is_leaf=lambda s: isinstance(s, P))
+
+
 def shard_params(params: dict, mesh: Mesh, specs=None) -> dict:
     """Place a param tree on the mesh (replicated unless a spec says otherwise)."""
     if specs is None:
