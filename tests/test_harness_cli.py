@@ -205,11 +205,20 @@ def test_cli_eval_pipeline_stages(monkeypatch, capsys, tmp_path, rng):
         pp["faithfulness"], single["faithfulness"], atol=1e-4
     )
 
-    # tp and pp together -> clean failure
-    with pytest.raises(SystemExit):
-        cli.main(
-            base + ["--model-parallel", "2", "--pipeline-stages", "2"]
-        )
+    # all three axes compose: dp x pp x tp from the CLI (2x2x2 mesh)
+    cli.main(
+        base
+        + [
+            "--data-parallel", "2",
+            "--model-parallel", "2",
+            "--pipeline-stages", "2",
+        ]
+    )
+    full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert full["num_clips"] == 4
+    np.testing.assert_allclose(
+        full["faithfulness"], single["faithfulness"], atol=1e-4
+    )
     # batch not divisible by dp x stages -> clean failure
     with pytest.raises(SystemExit):
         cli.main(

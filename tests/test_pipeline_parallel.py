@@ -324,3 +324,43 @@ def test_pipeline_tp_gradients_match_sequential(stacked):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3
         )
+
+
+def test_sharded_explain_dp_pp_tp_matches_single_device():
+    """make_sharded_explain on the full ('data','stage','model') mesh:
+    pipeline rotation over 'stage' with Megatron-sharded layer kernels
+    over 'model' (GSPMD-auto inside the shard_map) — outputs match the
+    plain single-device explain."""
+    from tests.test_pipeline import tiny_config
+
+    from xai_audio_deepfakes_tpu.parallel.inference import make_sharded_explain
+    from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, embedder=dataclasses.replace(cfg.embedder, scan_layers=True)
+    )
+    pipe = ADDvisorPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    wav = jnp.asarray(
+        np.random.default_rng(7)
+        .standard_normal((4, cfg.audio.num_samples))
+        .astype(np.float32)
+        * 0.1
+    )
+    want = pipe.explain(params, wav, decoder="unet")
+
+    mesh = _three_axis_mesh()  # tiny output_layer=2 -> 2 stages, tp=2, dp=2
+    explain, sharded = make_sharded_explain(pipe, mesh, params)
+    got = explain(sharded, wav)
+    np.testing.assert_allclose(
+        np.asarray(got.probs_clean), np.asarray(want.probs_clean), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.probs_relevant),
+        np.asarray(want.probs_relevant),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.relevant_wav), np.asarray(want.relevant_wav), atol=1e-4
+    )

@@ -347,3 +347,38 @@ def test_target_quant_fast_path(setup):
     leaves_f = jax.tree_util.tree_leaves(out_fast.unet_params)
     for a, b in zip(leaves_e, leaves_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_dp_pp_tp_training_matches_single_device(setup):
+    """`train_addvisor` on the full ('data','stage','model') mesh — the
+    CLI's --data-parallel x --pipeline-stages x --model-parallel combo:
+    pipeline rotation with Megatron-sharded layer kernels inside, epoch
+    loss matches single-device training."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    pipe, _, wav = setup
+    cfg = dataclasses.replace(
+        pipe.cfg,
+        embedder=dataclasses.replace(pipe.cfg.embedder, scan_layers=True),
+    )
+    p2 = ADDvisorPipeline(cfg)
+    params = p2.init_params(jax.random.PRNGKey(0))
+
+    ref_records = []
+    train_addvisor(
+        p2, params, batches=lambda: [wav], num_epochs=1,
+        log_fn=ref_records.append,
+    )
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(2, 2, 2), ("data", "stage", "model")
+    )
+    records = []
+    train_addvisor(
+        p2, params, batches=lambda: [wav], num_epochs=1, mesh=mesh,
+        log_fn=records.append,
+    )
+    np.testing.assert_allclose(
+        records[0]["loss"], ref_records[0]["loss"], rtol=1e-4
+    )

@@ -162,14 +162,15 @@ def _mesh_flags(p: argparse.ArgumentParser):
         "--pipeline-stages", type=int, default=0, metavar="PP",
         help="pipeline-parallel stages for the embedder layer stack "
              "(shard_map+ppermute rotation; needs --scan-layers and "
-             "output_layer %% PP == 0; exclusive with --model-parallel)",
+             "output_layer %% PP == 0; composes with --model-parallel "
+             "into a dp x pp x tp mesh)",
     )
 
 
 def _mesh_from_args(args):
-    """Build the ('data','model') or ('data','stage') mesh requested via
-    --data-parallel / --model-parallel / --pipeline-stages, or None when no
-    flag is set."""
+    """Build the ('data','model'), ('data','stage'), or
+    ('data','stage','model') mesh requested via --data-parallel /
+    --model-parallel / --pipeline-stages, or None when no flag is set."""
     pp = getattr(args, "pipeline_stages", 0)
     if not (
         getattr(args, "data_parallel", 0)
@@ -182,21 +183,25 @@ def _mesh_from_args(args):
     from xai_audio_deepfakes_tpu.config import MeshConfig
     from xai_audio_deepfakes_tpu.parallel.mesh import make_mesh
 
-    if pp > 1 and args.model_parallel > 1:
-        raise SystemExit(
-            "--pipeline-stages and --model-parallel are exclusive: the "
-            "embedder stack shards either over 'model' (tensor) or 'stage' "
-            "(pipeline), not both"
-        )
     if pp > 1:
         import numpy as _np
         from jax.sharding import Mesh
 
-        dp = args.data_parallel or max(1, len(jax.devices()) // pp)
-        if dp * pp > len(jax.devices()):
+        mp = args.model_parallel or 1
+        dp = args.data_parallel or max(1, len(jax.devices()) // (pp * mp))
+        if dp * pp * mp > len(jax.devices()):
             raise SystemExit(
-                f"--data-parallel {dp} x --pipeline-stages {pp} needs "
-                f"{dp * pp} devices, have {len(jax.devices())}"
+                f"--data-parallel {dp} x --pipeline-stages {pp}"
+                + (f" x --model-parallel {mp}" if mp > 1 else "")
+                + f" needs {dp * pp * mp} devices, have {len(jax.devices())}"
+            )
+        if mp > 1:
+            # all three axes on one mesh: the layer stack rotates over
+            # 'stage' while its Megatron kernel dims shard over 'model'
+            # (GSPMD-auto inside the pipeline shard_map, parallel/pipeline.py)
+            return Mesh(
+                _np.asarray(jax.devices()[: dp * pp * mp]).reshape(dp, pp, mp),
+                ("data", "stage", "model"),
             )
         return Mesh(
             _np.asarray(jax.devices()[: dp * pp]).reshape(dp, pp),

@@ -43,11 +43,22 @@ def shard_pipeline_params(
     out = {}
     for key, tree in params.items():
         if key == "encoder":
-            specs = (
-                embedder_pp_param_specs(tree, _pp_stages(mesh))
-                if _pp_stages(mesh) > 1
-                else embedder_param_specs(tree, mesh_cfg)
-            )
+            if _pp_stages(mesh) > 1:
+                # dp x pp (x tp when the mesh carries a model axis too:
+                # Megatron kernel dims shard over 'model', GSPMD-auto
+                # inside the pipeline shard_map)
+                specs = embedder_pp_param_specs(
+                    tree,
+                    _pp_stages(mesh),
+                    mesh_cfg=dataclasses.replace(
+                        mesh_cfg,
+                        model_parallel=int(
+                            mesh.shape.get(mesh_cfg.model_axis, 1)
+                        ),
+                    ),
+                )
+            else:
+                specs = embedder_param_specs(tree, mesh_cfg)
             out[key] = shard_params(tree, mesh, specs)
         else:
             out[key] = shard_params(tree, mesh)

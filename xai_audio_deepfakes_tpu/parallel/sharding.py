@@ -49,7 +49,10 @@ def embedder_param_specs(params: dict, cfg: MeshConfig = MeshConfig()):
 
 
 def embedder_pp_param_specs(
-    params: dict, n_stages: int = 0, stage_axis: str = "stage"
+    params: dict,
+    n_stages: int = 0,
+    stage_axis: str = "stage",
+    mesh_cfg: MeshConfig | None = None,
 ):
     """Pipeline-parallel placement for a scan-layers encoder tree: the
     stacked transformer-layer params ('layers/layer', leading [L] axis)
@@ -58,7 +61,12 @@ def embedder_pp_param_specs(
     length L is not divisible by the stage count (a truncated readout like
     `output_layer < num_layers` slices the stack before the rotation), the
     stack stays replicated and `pipeline_apply`'s shard_map reshards the
-    sliced [:output_layer] block instead."""
+    sliced [:output_layer] block instead.
+
+    With `mesh_cfg.model_parallel > 1` the stacked layers' Megatron kernel
+    dims additionally shard over the model axis (dp x pp x tp — the model
+    axis stays GSPMD-auto inside the pipeline shard_map)."""
+    tp = mesh_cfg is not None and mesh_cfg.model_parallel > 1
 
     def spec(path, leaf):
         names = "/".join(
@@ -67,7 +75,14 @@ def embedder_pp_param_specs(
         if "layers/layer" in names and (
             n_stages and leaf.shape[0] % n_stages == 0
         ):
-            return P(stage_axis, *([None] * (leaf.ndim - 1)))
+            tail = (
+                tuple(_spec_for_path(path, mesh_cfg.model_axis, leaf.ndim))[1:]
+                if tp
+                else ()
+            )
+            if not tail:
+                tail = (None,) * (leaf.ndim - 1)
+            return P(stage_axis, *tail)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, params)

@@ -240,7 +240,19 @@ def train_addvisor(
                     data_axis=cfg.mesh.data_axis,
                 ),
             )
-            enc_specs = embedder_pp_param_specs(frozen["encoder"], stages)
+            enc_specs = embedder_pp_param_specs(
+                frozen["encoder"],
+                stages,
+                # dp x pp x tp: Megatron-shard the stacked layer kernels over
+                # 'model' too when the mesh carries that axis (GSPMD-auto
+                # inside the pipeline shard_map)
+                mesh_cfg=dataclasses.replace(
+                    cfg.mesh,
+                    model_parallel=int(
+                        mesh.shape.get(cfg.mesh.model_axis, 1)
+                    ),
+                ),
+            )
         else:
             # frozen embedder tensor-shards over 'model' (Megatron specs)
             enc_specs = embedder_param_specs(frozen["encoder"], cfg.mesh)
