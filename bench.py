@@ -48,11 +48,14 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     # its serving graph over-allocates at batch 128 (FAILED_PRECONDITION);
     # opt in with BENCH_FUSED_CONV=1 at smaller batches.
     fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
+    # UNet int8 convs: opt-in (BENCH_UNET_QUANT=int8) — unlike the embedder
+    # quant knob this perturbs the mask itself (bounds in tests/test_models.py).
+    unet_quant = os.environ.get("BENCH_UNET_QUANT", "none")
     cfg = PipelineConfig(
         embedder=EmbedderConfig(
             dtype="bfloat16", quant=quant, gelu=gelu, fused_conv=fused_conv
         ),
-        unet=UNetConfig(dtype="bfloat16"),
+        unet=UNetConfig(dtype="bfloat16", quant=unet_quant),
     )
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(0))
@@ -98,6 +101,7 @@ def main(batch: int | None = None, iters: int = 10) -> None:
                 "quant": quant,
                 "gelu": gelu,
                 "fused_conv": fused_conv,
+                "unet_quant": unet_quant,
                 "device": str(jax.devices()[0]),
             }
         )

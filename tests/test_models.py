@@ -300,3 +300,43 @@ def test_unet_torch_checkpoint_import_parity(rng):
     ours = np.asarray(model.apply(variables, jnp.asarray(mag)))
     assert ours.shape == ref_mask.shape
     np.testing.assert_allclose(ours, ref_mask, atol=1e-4)
+
+
+def test_unet_int8_serving_parity(rng):
+    """UNetConfig(quant='int8') shares the f32 param tree (compute-only knob)
+    and its mask stays close to the float path — the bound documented for
+    the --unet-quant serving flag."""
+    mag = jnp.asarray(rng.uniform(size=(2, 512, 248)).astype(np.float32) * 3.0)
+    f32 = UNetMaskDecoder(UNetConfig())
+    variables = f32.init(jax.random.PRNGKey(0), mag)
+    ref = np.asarray(f32.apply(variables, mag))
+
+    q = UNetMaskDecoder(UNetConfig(quant="int8"))
+    # identical tree: every checkpoint / torch import loads unchanged
+    assert jax.tree_util.tree_structure(
+        q.init(jax.random.PRNGKey(0), mag)
+    ) == jax.tree_util.tree_structure(variables)
+    ours = np.asarray(q.apply(variables, mag))
+    assert np.max(np.abs(ours - ref)) < 0.15
+    assert np.mean(np.abs(ours - ref)) < 0.01
+
+
+def test_unet_int8_config_trains_in_float(rng):
+    """train=True must ignore quant='int8' (zero-gradient round): gradients
+    through the quant-configured module equal the float module's exactly."""
+    mag = jnp.asarray(rng.uniform(size=(1, 512, 248)).astype(np.float32))
+    f32 = UNetMaskDecoder(UNetConfig())
+    q = UNetMaskDecoder(UNetConfig(quant="int8"))
+    variables = f32.init(jax.random.PRNGKey(0), mag)
+
+    def loss(model, params):
+        mask, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            mag, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(mask)
+
+    g_f32 = jax.grad(lambda p: loss(f32, p))(variables["params"])
+    g_q = jax.grad(lambda p: loss(q, p))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g_f32), jax.tree.leaves(g_q)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

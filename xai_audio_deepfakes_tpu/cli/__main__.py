@@ -32,6 +32,7 @@ def _build_pipeline(args):
         EmbedderConfig,
         PipelineConfig,
         TrainConfig,
+        UNetConfig,
     )
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
@@ -44,6 +45,7 @@ def _build_pipeline(args):
             quant=getattr(args, "quant", "none"),
             gelu=getattr(args, "gelu", "exact"),
         ),
+        unet=UNetConfig(quant=getattr(args, "unet_quant", "none")),
         train=TrainConfig(
             target_quant=getattr(args, "target_quant", "none"),
             target_gelu=getattr(args, "target_gelu", "exact"),
@@ -128,6 +130,12 @@ def _common(p: argparse.ArgumentParser):
         "--gelu", default="exact", choices=["exact", "tanh"],
         help="tanh: GELU approximation, 2.25x faster on the VPU, max abs "
              "err 5e-4 (~bf16 rounding; GELU is ~25%% of serving time)",
+    )
+    p.add_argument(
+        "--unet-quant", default="none", choices=["none", "int8"],
+        help="int8: UNet mask-decoder convs on the int8 MXU (serving only; "
+             "unlike --quant this perturbs the mask itself — bounds in "
+             "tests/test_models.py)",
     )
     p.add_argument("--embedder-dir", default="", help="local HF checkpoint dir")
     p.add_argument(
@@ -904,6 +912,13 @@ def main(argv=None):
             "--quant int8 is serving-only: quantized matmuls have zero "
             "gradient, so train/attrib would silently differentiate through "
             "a constant. Use --quant none for gradient-dependent commands."
+        )
+    # --unet-quant on the trainer would be silently ignored (the module takes
+    # the float path when train=True); reject it so the flag is never a no-op.
+    if getattr(args, "unet_quant", "none") != "none" and args.fn is cmd_train:
+        parser.error(
+            "--unet-quant int8 is serving-only (the training graph needs "
+            "gradients through the UNet; quantized convs have none)."
         )
     if args.platform:
         _force_platform(args.platform)

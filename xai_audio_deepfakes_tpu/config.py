@@ -230,6 +230,12 @@ class UNetConfig:
     base_channels: int = 32
     leaky_slope: float = 0.2
     dtype: str = "float32"
+    # Serving-only (ignored when the module is applied with train=True —
+    # the quantizer's round has zero gradient): run the UNet's 3x3/5x3
+    # convs as int8 MXU contractions (`ops.quant.int8_conv2d`). The mask is
+    # the product output, so unlike the embedder's int8 knob this perturbs
+    # what users hear; parity bounds are pinned in tests/test_models.py.
+    quant: str = "none"  # "none" | "int8"
 
 
 @dataclass(frozen=True)

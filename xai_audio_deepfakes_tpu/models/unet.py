@@ -25,6 +25,42 @@ import jax
 import jax.numpy as jnp
 
 from xai_audio_deepfakes_tpu.config import UNetConfig
+from xai_audio_deepfakes_tpu.ops.quant import int8_conv2d
+
+
+class Conv2D(nn.Module):
+    """2-D conv with nn.Conv-compatible params ("kernel" HWIO + "bias") and
+    an optional int8 MXU path (`ops.quant.int8_conv2d`, serving-only — the
+    quantizer's round has zero gradient, so `quant` is ignored when a caller
+    needs this module differentiable; see UNetMaskDecoder.__call__)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = ((1, 1), (1, 1))
+    kernel_dilation: tuple = (1, 1)
+    dtype: Any = jnp.float32
+    quant: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.quant == "int8":
+            y = int8_conv2d(x, kernel, self.strides, self.padding, self.kernel_dilation)
+            return (y + bias).astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            self.strides, self.padding,
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+        )
+        return y + bias.astype(self.dtype)
 
 
 class ConvBlock(nn.Module):
@@ -37,17 +73,18 @@ class ConvBlock(nn.Module):
     padding: tuple = (1, 1)
     slope: float = 0.2
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = ((self.padding[0], self.padding[0]), (self.padding[1], self.padding[1]))
-        x = nn.Conv(
+        x = Conv2D(
             self.features, self.kernel, strides=self.strides, padding=pad,
-            dtype=self.dtype, name="conv1",
+            dtype=self.dtype, quant=self.quant, name="conv1",
         )(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(x)
         x = nn.leaky_relu(x, self.slope)
-        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(x)
+        x = Conv2D(self.features, (3, 3), dtype=self.dtype, quant=self.quant, name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn2")(x)
         return nn.leaky_relu(x, self.slope)
 
@@ -61,6 +98,9 @@ class UNetMaskDecoder(nn.Module):
     def __call__(self, mag, train: bool = False):
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        # int8 convs are serving-only (zero gradient through the quantizer's
+        # round); the training graph always takes the float path.
+        q = "none" if train else cfg.quant
         if mag.ndim == 3:
             x = mag[..., None]
         else:
@@ -70,18 +110,18 @@ class UNetMaskDecoder(nn.Module):
         c = cfg.base_channels
         s = cfg.leaky_slope
 
-        x1 = ConvBlock(c, (5, 3), (2, 1), (2, 1), s, dt, name="e1")(x, train)      # [256,248,32]
-        x2 = ConvBlock(2 * c, (5, 3), (2, 1), (2, 1), s, dt, name="e2")(x1, train)  # [128,248,64]
-        x3 = ConvBlock(4 * c, (3, 3), (2, 2), (1, 1), s, dt, name="e3")(x2, train)  # [64,124,128]
-        x4 = ConvBlock(8 * c, (3, 3), (2, 2), (1, 1), s, dt, name="e4")(x3, train)  # [32,62,256]
+        x1 = ConvBlock(c, (5, 3), (2, 1), (2, 1), s, dt, q, name="e1")(x, train)      # [256,248,32]
+        x2 = ConvBlock(2 * c, (5, 3), (2, 1), (2, 1), s, dt, q, name="e2")(x1, train)  # [128,248,64]
+        x3 = ConvBlock(4 * c, (3, 3), (2, 2), (1, 1), s, dt, q, name="e3")(x2, train)  # [64,124,128]
+        x4 = ConvBlock(8 * c, (3, 3), (2, 2), (1, 1), s, dt, q, name="e4")(x3, train)  # [32,62,256]
 
         # dilated bottleneck (`addvisor.py:36-43`)
-        b = nn.Conv(16 * c, (3, 3), padding=((2, 2), (2, 2)), kernel_dilation=(2, 2),
-                    dtype=dt, name="bneck_conv1")(x4)
+        b = Conv2D(16 * c, (3, 3), padding=((2, 2), (2, 2)), kernel_dilation=(2, 2),
+                   dtype=dt, quant=q, name="bneck_conv1")(x4)
         b = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bneck_bn1")(b)
         b = nn.leaky_relu(b, s)
-        b = nn.Conv(16 * c, (3, 3), padding=((4, 4), (4, 4)), kernel_dilation=(4, 4),
-                    dtype=dt, name="bneck_conv2")(b)
+        b = Conv2D(16 * c, (3, 3), padding=((4, 4), (4, 4)), kernel_dilation=(4, 4),
+                   dtype=dt, quant=q, name="bneck_conv2")(b)
         b = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bneck_bn2")(b)
         b = nn.leaky_relu(b, s)                                                     # [32,62,512]
 
@@ -90,18 +130,18 @@ class UNetMaskDecoder(nn.Module):
 
         y = up(b, 8 * c, (2, 2), "up4")                                             # [64,124,256]
         y = jnp.concatenate([y, x3.astype(dt)], axis=-1)                            # 384ch
-        y = ConvBlock(8 * c, slope=s, dtype=dt, name="d4")(y, train)
+        y = ConvBlock(8 * c, slope=s, dtype=dt, quant=q, name="d4")(y, train)
         y = up(y, 4 * c, (2, 2), "up3")                                             # [128,248,128]
         y = jnp.concatenate([y, x2.astype(dt)], axis=-1)                            # 192ch
-        y = ConvBlock(4 * c, slope=s, dtype=dt, name="d3")(y, train)
+        y = ConvBlock(4 * c, slope=s, dtype=dt, quant=q, name="d3")(y, train)
         y = up(y, 2 * c, (2, 1), "up2")                                             # [256,248,64]
         y = jnp.concatenate([y, x1.astype(dt)], axis=-1)                            # 96ch
-        y = ConvBlock(2 * c, slope=s, dtype=dt, name="d2")(y, train)
+        y = ConvBlock(2 * c, slope=s, dtype=dt, quant=q, name="d2")(y, train)
         y = up(y, c, (2, 1), "up1")                                                 # [512,248,32]
         y = jnp.concatenate([y, x.astype(dt)], axis=-1)                             # 33ch
-        y = ConvBlock(c, slope=s, dtype=dt, name="d1")(y, train)
+        y = ConvBlock(c, slope=s, dtype=dt, quant=q, name="d1")(y, train)
 
-        y = nn.Conv(1, (1, 1), dtype=dt, name="mask_head")(y)
+        y = Conv2D(1, (1, 1), padding=((0, 0), (0, 0)), dtype=dt, name="mask_head")(y)
         mask = jax.nn.sigmoid(y.astype(jnp.float32))
         return mask[..., 0]  # [B, 512, 248]
 
