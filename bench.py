@@ -42,15 +42,25 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     # (masks/waveforms bit-identical to bf16; probability deltas below int8
     # quantization noise — see docs/performance.md). BENCH_QUANT=none /
     # BENCH_GELU=exact measure the conservative paths.
-    quant = os.environ.get("BENCH_QUANT", "int8")
-    gelu = os.environ.get("BENCH_GELU", "tanh")
+    def _env_choice(name: str, default: str, choices: tuple) -> str:
+        v = os.environ.get(name, default)
+        if v not in choices:
+            raise SystemExit(
+                f"{name}={v!r} is not one of {choices} — refusing to fall "
+                "through to a default path while recording the raw string "
+                "in the bench JSON"
+            )
+        return v
+
+    quant = _env_choice("BENCH_QUANT", "int8", ("none", "int8"))
+    gelu = _env_choice("BENCH_GELU", "tanh", ("exact", "tanh"))
     # fused conv default-off: the Pallas conv kernel is parity-verified but
     # its serving graph over-allocates at batch 128 (FAILED_PRECONDITION);
     # opt in with BENCH_FUSED_CONV=1 at smaller batches.
     fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
     # UNet int8 convs: opt-in (BENCH_UNET_QUANT=int8) — unlike the embedder
     # quant knob this perturbs the mask itself (bounds in tests/test_models.py).
-    unet_quant = os.environ.get("BENCH_UNET_QUANT", "none")
+    unet_quant = _env_choice("BENCH_UNET_QUANT", "none", ("none", "int8"))
     cfg = PipelineConfig(
         embedder=EmbedderConfig(
             dtype="bfloat16", quant=quant, gelu=gelu, fused_conv=fused_conv

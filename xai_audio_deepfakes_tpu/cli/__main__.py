@@ -914,12 +914,28 @@ def main(argv=None):
             "a constant. Use --quant none for gradient-dependent commands."
         )
     # --unet-quant on the trainer would be silently ignored (the module takes
-    # the float path when train=True); reject it so the flag is never a no-op.
-    if getattr(args, "unet_quant", "none") != "none" and args.fn is cmd_train:
-        parser.error(
-            "--unet-quant int8 is serving-only (the training graph needs "
-            "gradients through the UNet; quantized convs have none)."
-        )
+    # the float path when train=True); reject it so the flag is never a
+    # silent no-op on the training graph. On subcommands whose graph never
+    # instantiates the UNet (attrib/embed/datagen/vocode-datagen — the other
+    # _common() consumers) it is also a no-op — warn rather than error there,
+    # since the flag arrives via the shared _common() parser.
+    if getattr(args, "unet_quant", "none") != "none":
+        if args.fn is cmd_train:
+            parser.error(
+                "--unet-quant int8 is serving-only (the training graph needs "
+                "gradients through the UNet; quantized convs have none)."
+            )
+        if args.fn in (
+            cmd_attrib,
+            cmd_embed,
+            cmd_datagen,
+            cmd_vocode_datagen,
+        ):
+            print(
+                "warning: --unet-quant has no effect here — this subcommand's "
+                "graph does not include the UNet mask decoder",
+                file=sys.stderr,
+            )
     if args.platform:
         _force_platform(args.platform)
     return args.fn(args)
