@@ -61,7 +61,13 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     # UNet int8 convs: opt-in (BENCH_UNET_QUANT=int8) — unlike the embedder
     # quant knob this perturbs the mask itself (bounds in tests/test_models.py).
     unet_quant = _env_choice("BENCH_UNET_QUANT", "none", ("none", "int8"))
+    # Pallas fused framing+DFT for the forward STFT (BENCH_STFT_PALLAS=1);
+    # measured at parity with the chunk-stream matmul-DFT default.
+    stft_pallas = os.environ.get("BENCH_STFT_PALLAS", "0") == "1"
+    from xai_audio_deepfakes_tpu.config import STFTConfig
+
     cfg = PipelineConfig(
+        stft=STFTConfig(use_pallas=stft_pallas),
         embedder=EmbedderConfig(
             dtype="bfloat16", quant=quant, gelu=gelu, fused_conv=fused_conv
         ),
@@ -112,6 +118,7 @@ def main(batch: int | None = None, iters: int = 10) -> None:
                 "gelu": gelu,
                 "fused_conv": fused_conv,
                 "unet_quant": unet_quant,
+                "stft": "pallas" if stft_pallas else "matmul",
                 "device": str(jax.devices()[0]),
             }
         )

@@ -258,3 +258,15 @@ def test_conv_ln_gelu_vjp_matches_autograd(rng):
     gr = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(*args)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_use_pallas_flag_cpu_fallback(rng):
+    # STFTConfig.use_pallas dispatches the forward STFT to the fused kernel
+    # only on TPU; on CPU it must transparently fall back to the identical
+    # jnp formulation (same config object usable in tests and production)
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.3)
+    cfg = STFTConfig(use_pallas=True)
+    re_p, im_p = stft(x, cfg)
+    re_j, im_j = stft(x, STFTConfig())
+    np.testing.assert_array_equal(np.asarray(re_p), np.asarray(re_j))
+    np.testing.assert_array_equal(np.asarray(im_p), np.asarray(im_j))

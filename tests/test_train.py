@@ -382,3 +382,31 @@ def test_dp_pp_tp_training_matches_single_device(setup):
     np.testing.assert_allclose(
         records[0]["loss"], ref_records[0]["loss"], rtol=1e-4
     )
+
+
+def test_nan_guard_pins_step_with_epoch_fold(setup):
+    """The device-side loss fold (one host transfer per epoch) still detects
+    divergence: the mid-epoch probe halts promptly and the epoch-end fold
+    pins the exact failing step."""
+    import dataclasses
+
+    from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+    from xai_audio_deepfakes_tpu.train.train_addvisor import train_addvisor
+
+    pipe, params, wav = setup
+    bad = wav[:2].at[0, 0].set(jnp.nan)
+    batches = lambda: [wav[:2], bad, wav[:2]]
+
+    # probe every step: halt raised by the mid-epoch check
+    cfg = dataclasses.replace(
+        pipe.cfg, train=dataclasses.replace(pipe.cfg.train, nan_check_every=1)
+    )
+    with pytest.raises(FloatingPointError, match="step 1"):
+        train_addvisor(ADDvisorPipeline(cfg), params, batches, num_epochs=1)
+
+    # probes off: the epoch-end fold still pins step 1
+    cfg = dataclasses.replace(
+        pipe.cfg, train=dataclasses.replace(pipe.cfg.train, nan_check_every=0)
+    )
+    with pytest.raises(FloatingPointError, match="step 1"):
+        train_addvisor(ADDvisorPipeline(cfg), params, batches, num_epochs=1)

@@ -80,6 +80,15 @@ class STFTConfig:
     window: str = "rect"  # "rect" | "hann"
     center: bool = True
     pad_mode: str = "reflect"
+    use_pallas: bool = False  # TPU-only: run the forward STFT through the
+    # fused Pallas framing+DFT kernel (`ops/pallas_stft.py` — frames are
+    # built in VMEM scratch and never touch HBM) instead of the chunk-stream
+    # matmul-DFT. Differentiable (custom_vjp transpose via the jnp oracle).
+    # Off by default: measured at parity with the XLA formulation end-to-end
+    # (numbers in docs/performance.md); the flag exists so the kernel is a
+    # selectable production path rather than dead code. iSTFT always uses
+    # the chunk-stream OLA — its Pallas variant needs hop-strided dynamic
+    # writes Mosaic cannot lower. On CPU the flag falls back to the jnp path.
     precision: str = "high"  # MXU precision for the DFT matmuls:
     # "highest" (6-pass bf16, bit-closest to f32) | "high" (3-pass) |
     # "default" (1-pass bf16). Measured at serving batch 128 on v5e:
@@ -290,6 +299,14 @@ class TrainConfig:
     num_epochs: int = 1000
     seed: int = 0
     renorm_loss_w: bool = True
+    # The epoch loop keeps per-step losses ON DEVICE and folds them into one
+    # host transfer per epoch — a per-step float(loss) forces a device
+    # round-trip that serializes dispatch (measured 20 vs 51.8 clips/s
+    # through `cli train` in round 2). NaN divergence is still detected: a
+    # small probe transfer every `nan_check_every` steps bounds how long a
+    # diverged run can continue, and the epoch-end fold pins the exact
+    # failing step. 0 = epoch-end checks only.
+    nan_check_every: int = 16
     checkpoint_dir: str = "ckpts"
     artifact_dir: str = "explanations"
     checkpoint_every: int = 1

@@ -29,6 +29,9 @@ Guide: /opt/skills/guides/pallas_guide.md.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -225,8 +228,14 @@ def istft_pallas(
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def make_fused_stft(cfg: STFTConfig, interpret: bool = False):
     from xai_audio_deepfakes_tpu.ops.stft import stft as stft_jnp
+
+    # the oracle must be the plain jnp path — with use_pallas set (the
+    # production dispatch in ops/stft.py routes back here) the vjp of the
+    # custom_vjp would recurse
+    oracle_cfg = dataclasses.replace(cfg, use_pallas=False)
 
     @jax.custom_vjp
     def fused(x):
@@ -237,7 +246,7 @@ def make_fused_stft(cfg: STFTConfig, interpret: bool = False):
 
     def bwd(shape, ct):
         zero = jnp.zeros(shape, jnp.float32)
-        _, vjp = jax.vjp(lambda x: stft_jnp(x, cfg), zero)
+        _, vjp = jax.vjp(lambda x: stft_jnp(x, oracle_cfg), zero)
         return vjp(ct)
 
     fused.defvjp(fwd, bwd)

@@ -112,6 +112,13 @@ def stft(
     Output layout [B, freq, time] matches torch.stft for API parity with the
     reference; internally compute is [B, T, n_fft] @ [n_fft, F].
     """
+    if method == "matmul" and cfg.use_pallas and jax.default_backend() == "tpu":
+        # fused Pallas framing+windowing+DFT (VMEM-resident frames); the
+        # custom_vjp wrapper keeps it differentiable for attrib/while CPU
+        # and non-matmul callers fall through to the jnp formulation
+        from xai_audio_deepfakes_tpu.ops.pallas_stft import make_fused_stft
+
+        return make_fused_stft(cfg)(x if x.ndim > 1 else x[None])
     frames = frame_signal(x, cfg)  # [B, T, n_fft]
     if method == "matmul":
         c, s = _dft_bases(cfg.n_fft)
