@@ -454,3 +454,86 @@ def test_cli_embed_features_png(monkeypatch, capsys, tmp_path, rng):
     assert os.path.exists(tmp_path / "out" / "features.png")
     data = np.load(tmp_path / "out" / "embeddings.npz")
     assert data["features"].shape[0] == 2
+
+
+def test_cli_attrib_save_artifacts(monkeypatch, capsys, tmp_path, rng):
+    """`cli attrib --save-artifacts` writes the reference's per-file outputs
+    (`captum_saliency.py:136-166`): original/relevant/irrelevant wavs, three
+    spectrogram PNGs, the waveform-mask plot, and a gallery index — while
+    still printing the aggregate metrics JSON."""
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+    from xai_audio_deepfakes_tpu.data.io import load_audio, write_wav
+
+    pipe = ADDvisorPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: (pipe, params))
+    n = pipe.cfg.audio.num_samples
+    for i in range(3):
+        write_wav(
+            str(tmp_path / f"c{i}.wav"),
+            rng.uniform(-0.3, 0.3, n).astype(np.float32),
+            16000,
+        )
+    meta = tmp_path / "meta.txt"
+    meta.write_text("".join(f"{tmp_path}/c{i}.wav\n" for i in range(3)))
+    out = tmp_path / "art"
+    cli.main(
+        ["attrib", "--metadata", str(meta), "--out", str(out),
+         "--batch-size", "2", "--save-artifacts", "--artifact-limit", "2",
+         "--method", "saliency"]
+    )
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # metrics cover every clip; artifacts honor the cap
+    assert result["num_clips"] == 3
+    assert result["artifacts"] == 2
+    assert os.path.exists(result["gallery"])
+    for i in range(2):
+        stem = f"c{i}_saliency"
+        for suffix in ("_original.wav", "_relevant.wav", "_irrelevant.wav",
+                       "_spec.png", "_spec_relevant.png",
+                       "_spec_irrelevant.png", "_wavmask.png"):
+            assert os.path.exists(out / f"{stem}{suffix}"), stem + suffix
+    assert not os.path.exists(out / "c2_saliency_original.wav")
+    # the relevant waveform is the masked clip, not a copy of the original
+    orig, _ = load_audio(str(out / "c0_saliency_original.wav"))
+    rel, _ = load_audio(str(out / "c0_saliency_relevant.wav"))
+    assert orig.shape == rel.shape
+    assert not np.allclose(orig, rel)
+
+
+def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
+    """`cli closed-loop` builds the config from flags, runs the loop, writes
+    mask/spectrogram PNGs + closed_loop.json, and prints the result (the
+    loop itself is exercised at tiny scale in tests/test_closed_loop.py)."""
+    import xai_audio_deepfakes_tpu.train.closed_loop as cl
+    from xai_audio_deepfakes_tpu.cli import __main__ as cli
+
+    seen = {}
+
+    def fake_loop(cfg, **kw):
+        seen["cfg"] = cfg
+        seen.update(kw)
+        return {
+            "band_hz": [kw["band"][0], kw["band"][1]],
+            "after": {"flip_rate": 1.0},
+            "final_masks": np.full((2, 64, 24), 0.5, np.float32),
+            "final_magnitude": np.ones((2, 64, 24), np.float32),
+            "state": object(),
+        }
+
+    monkeypatch.setattr(cl, "run_closed_loop", fake_loop)
+    out = tmp_path / "loop"
+    cli.main(
+        ["closed-loop", "--out", str(out), "--band-lo", "400", "--band-hi",
+         "900", "--epochs", "3", "--n-train", "8", "--n-eval", "4",
+         "--model-lr", "1e-3", "--artifact-limit", "1"]
+    )
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["band_hz"] == [400.0, 900.0]
+    assert "final_masks" not in printed and "state" not in printed
+    assert seen["cfg"].train.model_lr == 1e-3
+    assert seen["epochs"] == 3 and seen["n_train"] == 8
+    assert os.path.exists(out / "closed_loop.json")
+    assert os.path.exists(out / "final_mask_0.png")
+    assert os.path.exists(out / "manipulated_spec_0.png")
+    assert not os.path.exists(out / "final_mask_1.png")

@@ -31,12 +31,14 @@ def _build_pipeline(args):
     from xai_audio_deepfakes_tpu.config import (
         EmbedderConfig,
         PipelineConfig,
+        STFTConfig,
         TrainConfig,
         UNetConfig,
     )
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
     cfg = PipelineConfig(
+        stft=STFTConfig(use_pallas=getattr(args, "stft_pallas", False)),
         embedder=EmbedderConfig(
             dtype=args.dtype,
             scan_layers=getattr(args, "scan_layers", False),
@@ -136,6 +138,12 @@ def _common(p: argparse.ArgumentParser):
         help="int8: UNet mask-decoder convs on the int8 MXU (serving only; "
              "unlike --quant this perturbs the mask itself — bounds in "
              "tests/test_models.py)",
+    )
+    p.add_argument(
+        "--stft-pallas", action="store_true",
+        help="TPU: forward STFT via the fused Pallas framing+DFT kernel "
+             "(VMEM-resident frames) instead of the chunk-stream matmul-DFT; "
+             "measured at parity (docs/performance.md). CPU: no-op fallback.",
     )
     p.add_argument("--embedder-dir", default="", help="local HF checkpoint dir")
     p.add_argument(
@@ -473,9 +481,87 @@ def cmd_attrib(args):
     paths = extract_wavs(args.metadata)
     if args.limit:
         paths = paths[: args.limit]
+
+    artifact_fn = None
+    records: list[dict] = []
+    if args.save_artifacts:
+        # per-file artifacts (`captum_saliency.py:136-166`): listenable
+        # relevant/irrelevant waveforms, original/relevant/irrelevant
+        # spectrogram PNGs, and the waveform-mask line plot, fed into the
+        # same gallery the explain path uses
+        from xai_audio_deepfakes_tpu.data.io import write_wav
+        from xai_audio_deepfakes_tpu.ops.stft import stft_magnitude_phase
+        from xai_audio_deepfakes_tpu.train.artifacts import (
+            save_spectrogram_png,
+            save_waveform_mask_png,
+        )
+
+        import jax
+
+        os.makedirs(args.out, exist_ok=True)
+        spec_of = jax.jit(
+            lambda w: stft_magnitude_phase(w, pipe.cfg.stft)[2]
+        )
+        counter = {"i": 0}
+        limit = args.artifact_limit
+
+        def artifact_fn(wav, mask, rel, irr, p_clean, p_rel, p_irr):
+            for j in range(wav.shape[0]):
+                i = counter["i"]
+                counter["i"] += 1
+                if i >= len(paths) or (limit and i >= limit):
+                    return
+                stem = os.path.splitext(os.path.basename(paths[i]))[0]
+                stem = f"{stem}_{args.method}"
+                write_wav(os.path.join(args.out, f"{stem}_original.wav"), wav[j])
+                write_wav(os.path.join(args.out, f"{stem}_relevant.wav"), rel[j])
+                write_wav(os.path.join(args.out, f"{stem}_irrelevant.wav"), irr[j])
+                mags = np.asarray(spec_of(jnp.asarray(wav[j : j + 1])))[0]
+                mags_r = np.asarray(spec_of(jnp.asarray(rel[j : j + 1])))[0]
+                mags_i = np.asarray(spec_of(jnp.asarray(irr[j : j + 1])))[0]
+                save_spectrogram_png(
+                    mags, os.path.join(args.out, f"{stem}_spec.png")
+                )
+                save_spectrogram_png(
+                    mags_r, os.path.join(args.out, f"{stem}_spec_relevant.png"),
+                    title="Relevant (wav x mask)",
+                )
+                save_spectrogram_png(
+                    mags_i, os.path.join(args.out, f"{stem}_spec_irrelevant.png"),
+                    title="Irrelevant (wav x (1 - mask))",
+                )
+                save_waveform_mask_png(
+                    mask[j], os.path.join(args.out, f"{stem}_wavmask.png"),
+                    wav=wav[j], title=f"{args.method} attribution mask",
+                )
+                records.append(
+                    {
+                        "source": paths[i],
+                        "original_audio": f"{stem}_original.wav",
+                        "reconstructed_audio": f"{stem}_relevant.wav",
+                        "spectrogram_img": f"{stem}_spec.png",
+                        "mask_img": f"{stem}_wavmask.png",
+                        "masked_spectrogram_img": f"{stem}_spec_relevant.png",
+                        "compl_masked_spectrogram_img": f"{stem}_spec_irrelevant.png",
+                        "pred_original": float(p_clean[j, 0]),
+                        "pred_reconstructed_mask": float(p_rel[j, 0]),
+                        "pred_reconstructed_1mask": float(p_irr[j, 0]),
+                    }
+                )
+
+    import jax.numpy as jnp
+
     result = run_attribution_metrics(
-        pipe, params, _batches(args, paths, pipe), method=args.method
+        pipe, params, _batches(args, paths, pipe), method=args.method,
+        artifact_fn=artifact_fn,
     )
+    if records:
+        from xai_audio_deepfakes_tpu.serve.viewer import build_gallery
+
+        result["gallery"] = build_gallery(
+            records, args.out, polarity=pipe.cfg.polarity.value
+        )
+        result["artifacts"] = len(records)
     print(json.dumps(result))
 
 
@@ -607,6 +693,61 @@ def cmd_train_detector(args):
     os.makedirs(args.out, exist_ok=True)
     logreg_params_save(params, os.path.join(args.out, "logreg_vocoded_anyband.npz"))
     print(json.dumps(metrics))
+
+
+def cmd_closed_loop(args):
+    """Closed-loop explanation-quality protocol: band-swap corpus with a
+    KNOWN artifact band -> train the detector -> train the mask decoder
+    against it -> verify the mask localizes the band and flips the detector
+    on the complement (the product claim of `/root/reference/README.md:1-4`
+    made checkable without external weights; `train/closed_loop.py`)."""
+    from xai_audio_deepfakes_tpu.config import (
+        EmbedderConfig,
+        PipelineConfig,
+        STFTConfig,
+        TrainConfig,
+        UNetConfig,
+    )
+    from xai_audio_deepfakes_tpu.train.artifacts import (
+        save_mask_png,
+        save_spectrogram_png,
+    )
+    from xai_audio_deepfakes_tpu.train.closed_loop import run_closed_loop
+    from xai_audio_deepfakes_tpu.utils.logging import JSONLLogger
+
+    mesh = _mesh_from_args(args)
+    cfg = PipelineConfig(
+        stft=STFTConfig(use_pallas=args.stft_pallas),
+        embedder=EmbedderConfig(
+            dtype=args.dtype, scan_layers=args.scan_layers, remat=args.remat,
+            remat_policy=args.remat_policy, gelu=args.gelu,
+        ),
+        unet=UNetConfig(quant=args.unet_quant),
+        train=TrainConfig(model_lr=args.model_lr),
+    )
+    os.makedirs(args.out, exist_ok=True)
+    logger = JSONLLogger(os.path.join(args.out, "closed_loop_log.jsonl"))
+    res = run_closed_loop(
+        cfg, seed=args.seed, n_train=args.n_train, n_eval=args.n_eval,
+        band=(args.band_lo, args.band_hi), epochs=args.epochs,
+        batch_size=args.batch_size, noise_rms=args.noise_rms, mesh=mesh,
+        log_fn=logger,
+    )
+    masks, mags = res.pop("final_masks"), res.pop("final_magnitude")
+    res.pop("state")
+    for i in range(min(args.artifact_limit, len(masks))):
+        save_mask_png(
+            masks[i], os.path.join(args.out, f"final_mask_{i}.png"),
+            title=f"learned mask, artifact band {args.band_lo:.0f}-"
+                  f"{args.band_hi:.0f} Hz",
+        )
+        save_spectrogram_png(
+            mags[i], os.path.join(args.out, f"manipulated_spec_{i}.png"),
+            title="manipulated clip |STFT|",
+        )
+    with open(os.path.join(args.out, "closed_loop.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
 
 
 def cmd_serve(args):
@@ -822,6 +963,17 @@ def main(argv=None):
                  "smoothgrad", "gradient_shap"],
     )
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument(
+        "--save-artifacts", action="store_true",
+        help="per-file artifacts into --out: relevant/irrelevant wavs, "
+             "original/relevant/irrelevant spectrogram PNGs, waveform-mask "
+             "plot, and a gallery index (`captum_saliency.py:136-166`)",
+    )
+    p.add_argument(
+        "--artifact-limit", type=int, default=32,
+        help="cap on clips that get artifacts (0 = all; metrics still "
+             "cover every clip)",
+    )
     p.set_defaults(fn=cmd_attrib)
 
     p = sub.add_parser("datagen", help="band-splice detector training data")
@@ -857,6 +1009,27 @@ def main(argv=None):
     p.add_argument("--c", type=float, default=1e6)
     p.add_argument("--out", default="artifacts")
     p.set_defaults(fn=cmd_train_detector)
+
+    p = sub.add_parser(
+        "closed-loop",
+        help="explanation-quality capstone: known-band corpus -> detector "
+             "-> mask decoder -> localization + flip verification",
+    )
+    _common(p)
+    p.add_argument("--band-lo", type=float, default=2000.0)
+    p.add_argument("--band-hi", type=float, default=3000.0)
+    p.add_argument("--n-train", type=int, default=64)
+    p.add_argument("--n-eval", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--noise-rms", type=float, default=1.0)
+    p.add_argument(
+        "--model-lr", type=float, default=3e-4,
+        help="decoder Adam lr (the loop's short schedule wants a hotter lr "
+             "than the reference's 3e-5 1000-epoch default)",
+    )
+    p.add_argument("--artifact-limit", type=int, default=8)
+    _mesh_flags(p)
+    p.set_defaults(fn=cmd_closed_loop)
 
     p = sub.add_parser("serve", help="host the listening-study gallery")
     p.add_argument("--artifacts", required=True)

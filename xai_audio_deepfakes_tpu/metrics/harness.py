@@ -81,8 +81,16 @@ def run_attribution_metrics(
     batches: Iterable[np.ndarray],
     method: str = "input_x_gradient",
     log_fn: Callable[[dict], None] | None = None,
+    artifact_fn: Callable[..., None] | None = None,
     **method_kw,
 ) -> dict:
+    """With `artifact_fn`, each batch's waveform mask and relevant/irrelevant
+    waveforms are ALSO transferred to the host and passed as
+    artifact_fn(wav, mask, rel_wav, irr_wav, p_clean, p_rel, p_irr) — the
+    per-file artifact capability of `captum_saliency.py:136-166` (spectrogram
+    PNGs, mask plot, listenable masked waveforms). Off by default: it adds
+    three [B, 80000] device-to-host copies per batch to an otherwise
+    scalars-only sweep."""
     # params is a jit ARGUMENT, not a closure: closed-over weights would be
     # inlined into the HLO as literal constants (measured: 3.4 GB of program
     # text at full geometry — uncompilable through the remote-compile relay)
@@ -98,7 +106,11 @@ def run_attribution_metrics(
         _, p_clean = pipe.classify(params, wav)
         _, p_rel = pipe.classify(params, rel_wav)
         _, p_irr = pipe.classify(params, irr_wav)
-        return p_clean, p_rel, p_irr
+        if artifact_fn is None:
+            # metrics-only graph: masks/waveforms stay device-side and XLA
+            # DCEs whatever the probabilities do not need
+            return p_clean, p_rel, p_irr, (), (), ()
+        return p_clean, p_rel, p_irr, mask, rel_wav, irr_wav
 
     # device-side fold (mirrors run_explanation_metrics): each batch reduces
     # to three scalars on device, so eval memory is O(1) in clips and only
@@ -119,7 +131,13 @@ def run_attribution_metrics(
     ff_sum = fid_sum = 0.0
     manip_count = n_clips = 0
     for wav in batches:
-        p_clean, p_rel, p_irr = step(params, jnp.asarray(wav))
+        p_clean, p_rel, p_irr, mask, rel, irr = step(params, jnp.asarray(wav))
+        if artifact_fn is not None:
+            artifact_fn(
+                np.asarray(wav), np.asarray(mask), np.asarray(rel),
+                np.asarray(irr), np.asarray(p_clean), np.asarray(p_rel),
+                np.asarray(p_irr),
+            )
         ff, fid, manip = fold(p_clean, p_rel, p_irr)
         ff_sum += float(ff)
         fid_sum += float(fid)

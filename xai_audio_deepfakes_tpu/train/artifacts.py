@@ -69,6 +69,36 @@ def save_spectrogram_png(
     return path
 
 
+def save_waveform_mask_png(
+    mask: np.ndarray, path: str, wav: np.ndarray | None = None,
+    title: str = "Attribution mask", sr: int = 16000,
+) -> str:
+    """Waveform-domain attribution mask as a line plot
+    (`captum_saliency.py:57-65` save_mask), optionally over the waveform."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    mask = np.asarray(mask).reshape(-1)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    t = np.arange(mask.shape[0]) / sr
+    fig, ax = plt.subplots(figsize=(8, 2))
+    if wav is not None:
+        wav = np.asarray(wav).reshape(-1)
+        peak = np.max(np.abs(wav)) + 1e-9
+        ax.plot(t, wav / peak, color="#bbbbbb", linewidth=0.4, label="waveform")
+    ax.plot(t, mask, color="#1f77b4", linewidth=0.6, label="mask")
+    ax.set_xlabel("time s")
+    ax.set_ylim(-1.05, 1.05)
+    ax.set_title(title, fontsize=9)
+    ax.legend(loc="upper right", fontsize=7)
+    fig.tight_layout()
+    fig.savefig(path, format="png", dpi=150)
+    plt.close(fig)
+    return path
+
+
 def save_features_png(
     features: np.ndarray, path: str, title: str = "SSL features"
 ) -> str:
