@@ -15,15 +15,20 @@ jnp oracle's vjp — the LMAC loss differentiates through the fused kernels
 exactly as through the reference ops (`loss_function.py:46-53`).
 
 The jnp path stays the numerical oracle; `tests/test_pallas.py` checks
-equality in interpret mode on CPU. Production status: the *default* TPU
-STFT/iSTFT path is `ops/stft.py`'s chunk-stream matmul-DFT formulation,
-which needs no gather/scatter at all and fuses fully in XLA — it measured
-at parity with these kernels, so the jnp path stays default. The forward
-STFT kernel compiles and runs on real TPU (bins padded 513 -> 640 for lane
-alignment). The iSTFT kernel's overlap-add writes at hop-strided (dynamic,
-non-lane-aligned) offsets, which Mosaic currently cannot lower — it is
-interpret-mode only; on TPU `istft_pallas` would need the chunk-stream OLA,
-i.e. exactly what `ops/stft.py::istft` already does.
+equality in interpret mode on CPU. Production status: selectable via
+`STFTConfig.use_pallas` (`ops/stft.py` dispatches here on TPU) and
+measured END-TO-END at parity with the default chunk-stream matmul-DFT
+(228.1 vs 229.7 clips/s at serving batch 128 — the XLA formulation needs
+no gather at all and fuses fully, so it stays default; numbers in
+docs/performance.md). Lowering on the real chip needs two accommodations:
+the kernel is batch-aware (vmap'd pallas_call squeezes the batch dim out
+of the block shape, which Mosaic's sublane rule rejects), and frames load
+from 128-aligned offsets + `pltpu.roll` for the residual (Mosaic requires
+lane-dim dynamic-slice offsets be provably lane-aligned; the hop is 322).
+The iSTFT kernel's overlap-add WRITES at hop-strided offsets and there is
+no scatter-side roll — it stays interpret-mode only; on TPU
+`istft_pallas` would need the chunk-stream OLA, i.e. exactly what
+`ops/stft.py::istft` already does.
 Guide: /opt/skills/guides/pallas_guide.md.
 """
 
@@ -42,61 +47,86 @@ from xai_audio_deepfakes_tpu.config import STFTConfig
 from xai_audio_deepfakes_tpu.ops.stft import _dft_bases, _idft_bases, _ola_envelope
 from xai_audio_deepfakes_tpu.ops.window import torch_style_window
 
-# frames per grid step: 8 rows is the f32 sublane tile; span per tile =
-# (TILE_T-1)*hop + n_fft stays well under VMEM limits (8 frames -> ~13 KB)
+# frames per grid step per sample: 8 rows is the f32 sublane tile
 TILE_T = 8
+# batch rows per grid step: Mosaic requires the second-to-last block dim be
+# a multiple of 8 (or the full array dim) — a batch tile of 8 satisfies that
+# for the [B, L] waveform input, and lets one grid step feed the MXU a
+# [TILE_B*TILE_T, n_fft] frame matrix instead of single-frame dots
+TILE_B = 8
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_stft_call(num_frames: int, n_fft: int, hop: int, n_bins: int,
-                    interpret: bool):
+def _make_stft_call(batch: int, padded_len: int, num_frames: int, n_fft: int,
+                    hop: int, n_bins: int, interpret: bool):
     # Mosaic requires lane-aligned (multiple-of-128) block minor dims; the
     # 513 one-sided bins are padded to 640 here (bases zero-padded, result
     # sliced by the wrapper)
     n_bins_p = _round_up(n_bins, 128)
+    rows = TILE_B * TILE_T
 
-    def kernel(wav_ref, win_ref, cos_ref, sin_ref, re_ref, im_ref):
-        t = pl.program_id(0)
+    span = n_fft + 128  # aligned load + up-to-127-lane in-register rotate
 
-        def body(i, _):
-            start = (t * TILE_T + i) * hop
-            row = wav_ref[pl.ds(start, n_fft)] * win_ref[0, :]
-            rows = row[None, :]
-            re_ref[pl.ds(i, 1), :] = jnp.dot(
-                rows, cos_ref[...], preferred_element_type=jnp.float32
-            )
-            im_ref[pl.ds(i, 1), :] = jnp.dot(
-                rows, sin_ref[...], preferred_element_type=jnp.float32
-            )
-            return 0
+    def kernel(wav_ref, win_ref, cos_ref, sin_ref, re_ref, im_ref, frames):
+        t = pl.program_id(1)
 
-        jax.lax.fori_loop(0, TILE_T, body, 0)
+        # stage the 64 windowed frames of this (batch-tile, frame-tile) into
+        # VMEM scratch — frames overlap (hop < n_fft), which BlockSpec's
+        # block-unit index maps cannot express, and Mosaic requires lane-dim
+        # dynamic-slice offsets be provably 128-aligned (hop is 322): load
+        # from the aligned offset below each frame start and rotate the
+        # residual with pltpu.roll (dynamic in-register lane rotate)
+        for b in range(TILE_B):
+            def body(i, _):
+                start = (t * TILE_T + i) * hop
+                aligned = (start // 128) * 128
+                shift = start - aligned  # in [0, 128)
+                rows = wav_ref[b, pl.ds(aligned, span)][None, :]
+                rows = pltpu.roll(rows, -shift, axis=1)
+                frames[pl.ds(b * TILE_T + i, 1), :] = (
+                    rows[:, :n_fft] * win_ref[0, :]
+                )
+                return 0
 
+            jax.lax.fori_loop(0, TILE_T, body, 0)
+
+        # one MXU-shaped dot pair for the whole tile
+        re = jnp.dot(frames[...], cos_ref[...], preferred_element_type=jnp.float32)
+        im = jnp.dot(frames[...], sin_ref[...], preferred_element_type=jnp.float32)
+        for b in range(TILE_B):
+            re_ref[b, :, :] = re[b * TILE_T : (b + 1) * TILE_T, :]
+            im_ref[b, :, :] = im[b * TILE_T : (b + 1) * TILE_T, :]
+
+    grid_b = batch // TILE_B
     grid_t = num_frames // TILE_T
+    total_t = grid_t * TILE_T
 
     return pl.pallas_call(
         kernel,
-        grid=(grid_t,),
+        grid=(grid_b, grid_t),
         in_specs=[
-            # frames overlap (hop < n_fft), which BlockSpec's block-unit
-            # index maps cannot express — the wav row (81 KB padded, f32)
-            # lives whole in VMEM and each tile takes its span with pl.ds
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # full-length rows per batch tile: the frame overlap spans are
+            # taken with pl.ds inside the kernel
+            pl.BlockSpec((TILE_B, padded_len), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_T, n_bins_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, n_bins_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, TILE_T, n_bins_p), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, TILE_T, n_bins_p), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid_t * TILE_T, n_bins_p), jnp.float32),
-            jax.ShapeDtypeStruct((grid_t * TILE_T, n_bins_p), jnp.float32),
+            jax.ShapeDtypeStruct((batch, total_t, n_bins_p), jnp.float32),
+            jax.ShapeDtypeStruct((batch, total_t, n_bins_p), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((rows, n_fft), jnp.float32)],
         interpret=interpret,
     )
 
@@ -118,6 +148,11 @@ def stft_pallas(
     t_pad = (-num_frames) % TILE_T
     total_t = num_frames + t_pad
     need = (total_t - 1) * hop + n_fft
+    # Mosaic block minor dims must be lane-aligned (%128) — round the padded
+    # waveform up; +128 because the kernel loads each frame from the aligned
+    # offset below its start and rotates (see _make_stft_call). The surplus
+    # zeros sit past the last frame's span and are never read.
+    need = _round_up(max(need + 128, x.shape[-1]), 128)
     if need > x.shape[-1]:
         x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
 
@@ -127,13 +162,20 @@ def stft_pallas(
     cos_b = np.pad(cos_b, pad_cols)
     sin_b = np.pad(sin_b, pad_cols)
     win = torch_style_window(cfg.window, cfg.win_length, n_fft)[None, :]
-    call = _make_stft_call(total_t, n_fft, hop, n_bins, interpret)
 
-    def one(row):
-        re, im = call(row, jnp.asarray(win), jnp.asarray(cos_b), jnp.asarray(sin_b))
-        return re[:num_frames, :n_bins], im[:num_frames, :n_bins]
-
-    re, im = jax.vmap(one)(x)
+    # batch tile: pad with zero rows (computed then discarded) rather than
+    # vmap — vmap'd pallas_call squeezes the batch dim out of the block
+    # shape, which Mosaic's sublane rule rejects for B > 1
+    batch = x.shape[0]
+    b_pad = (-batch) % TILE_B
+    if b_pad:
+        x = jnp.pad(x, ((0, b_pad), (0, 0)))
+    call = _make_stft_call(
+        batch + b_pad, x.shape[-1], total_t, n_fft, hop, n_bins, interpret
+    )
+    re, im = call(x, jnp.asarray(win), jnp.asarray(cos_b), jnp.asarray(sin_b))
+    re = re[:batch, :num_frames, :n_bins]
+    im = im[:batch, :num_frames, :n_bins]
     return re.swapaxes(-1, -2), im.swapaxes(-1, -2)
 
 
