@@ -391,15 +391,29 @@ def cmd_train(args):
             resume_state = restore_checkpoint(ckpt, template)
             logger({"resumed_from": ckpt, "epoch": parse_checkpoint_name(ckpt)[0]})
 
+    # artifact saves run on one worker thread: the device->host mask copy,
+    # the loss-scalar floats, and the matplotlib render all come off the
+    # dispatch path (they cost ~0.5 s/epoch synchronously — a large slice
+    # of a ~1.3 s epoch; the reference renders inline, train_addvisor.py:367)
+    from concurrent.futures import ThreadPoolExecutor
+
+    artifact_pool = ThreadPoolExecutor(max_workers=1)
+    artifact_futures = []
+
     def artifact_fn(epoch, mask, aux):
-        save_mask_png(
-            np.asarray(mask),
-            os.path.join(args.out, f"{epoch + 1}_explanation.png"),
-            title=(
-                f"L_in = {float(aux['l_in']):.6f}, L_out = {float(aux['l_out']):.6f}, "
-                f"L1 = {float(aux['l1']):.6f}"
-            ),
-        )
+        l_in, l_out, l1 = aux["l_in"], aux["l_out"], aux["l1"]
+
+        def _save():
+            save_mask_png(
+                np.asarray(mask),
+                os.path.join(args.out, f"{epoch + 1}_explanation.png"),
+                title=(
+                    f"L_in = {float(l_in):.6f}, L_out = {float(l_out):.6f}, "
+                    f"L1 = {float(l1):.6f}"
+                ),
+            )
+
+        artifact_futures.append(artifact_pool.submit(_save))
 
     def checkpoint_fn(epoch, state, loss):
         # async: host write overlaps the next epoch's device compute
@@ -432,6 +446,9 @@ def cmd_train(args):
     )
     from xai_audio_deepfakes_tpu.train.checkpoints import wait_for_saves
 
+    for f in artifact_futures:  # surface any save error before exiting
+        f.result()
+    artifact_pool.shutdown()
     wait_for_saves()
     print(json.dumps({"trained_steps": int(state.step)}))
 

@@ -287,32 +287,54 @@ def train_addvisor(
                 f"{vals[int(bad[0]), 0]}"
             )
 
-    for epoch in range(num_epochs):
-        t0 = time.perf_counter()
-        # per-step losses stay on device; a per-step float() would force a
-        # host round-trip that serializes dispatch (20 vs 51.8 clips/s
-        # measured through `cli train` in round 2). One stack+transfer per
-        # epoch instead, with a small NaN probe every `nan_check_every`
-        # steps so a diverged run cannot train for long.
-        loss_vecs = []
-        for i, wav in enumerate(batches()):
-            state, aux = jit_step(state, frozen, wav)
-            if i == 0 and artifact_fn is not None:
-                artifact_fn(epoch, aux["mask_first"], aux)
-            loss_vecs.append(aux["loss_vec"])
-            if nan_every and (i + 1) % nan_every == 0:
-                probe = np.asarray(aux["loss_vec"])
-                if not np.all(np.isfinite(probe)):
-                    vals = np.asarray(jnp.stack(loss_vecs))
-                    _raise_nonfinite(epoch, vals)
-        n = len(loss_vecs)
-        vals = (
-            np.asarray(jnp.stack(loss_vecs))
-            if loss_vecs
-            else np.zeros((0, 4), np.float32)
+    # Host-off-the-hot-path epoch loop (round-2 measured `cli train` at 20
+    # vs 51.8 clips/s for the jitted step; the reference's loop is fully
+    # synchronous, `train_addvisor.py:345-393`):
+    #   * per-step losses stay on device; one [n,4] fold per epoch
+    #   * epochs chain through ONE background prefetch stream, so the next
+    #     epoch's decode + device_put overlap this epoch's device tail
+    #   * the epoch record is finalized ONE epoch late from an async
+    #     device->host copy, so dispatch never drains waiting on the fold;
+    #     the `nan_check_every` probe still bounds divergence detection
+    from xai_audio_deepfakes_tpu.data.prefetch import prefetch
+
+    def _epoch_stream():
+        for epoch in range(num_epochs):
+            got = False
+            for wav in batches():
+                got = True
+                yield epoch, wav
+            if not got:
+                yield epoch, None  # keep the per-epoch record contract
+
+    def _finish_epoch(epoch, loss_vecs, t0, drain=False):
+        """Stage the epoch fold: start the async transfer now, finalize
+        (record/log/checkpoint) when `_finalize` is called later. With
+        `drain` (last epoch), block for the device first so the timing
+        covers the real compute, not just its dispatch."""
+        vec = jnp.stack(loss_vecs) if loss_vecs else jnp.zeros((0, 4))
+        if drain:
+            vec = jnp.asarray(np.asarray(vec))
+        else:
+            try:
+                vec.copy_to_host_async()
+            except AttributeError:  # not a device array (e.g. under tracing)
+                pass
+        # this epoch's state buffers get DONATED by the next epoch's first
+        # step before the deferred finalize runs — snapshot what finalize
+        # needs as fresh on-device copies (enqueued, no host sync)
+        w_snap = jnp.copy(state.w_raw)
+        snap = (
+            jax.tree.map(jnp.copy, state) if checkpoint_fn is not None else None
         )
+        return (epoch, vec, snap, w_snap, t0, time.perf_counter())
+
+    def _finalize(staged):
+        epoch, vec, snap, w_snap, t0, t1 = staged
+        vals = np.asarray(vec)
+        n = vals.shape[0]
         _raise_nonfinite(epoch, vals)
-        sums = vals.sum(axis=0)
+        sums = vals.sum(axis=0) if n else np.zeros(4)
         avg = float(sums[0]) / max(n, 1)
         record = {
             "epoch": epoch + 1,
@@ -320,13 +342,43 @@ def train_addvisor(
             "l_in": float(sums[1]) / max(n, 1),
             "l_out": float(sums[2]) / max(n, 1),
             "l1": float(sums[3]) / max(n, 1),
-            "w": [float(x) for x in softplus_weights(state.w_raw)],
-            "sec": time.perf_counter() - t0,
+            "w": [float(x) for x in softplus_weights(w_snap)],
+            "sec": t1 - t0,
         }
         if log_fn is not None:
             log_fn(record)
-        if checkpoint_fn is not None and (epoch + 1) % cfg.train.checkpoint_every == 0:
-            checkpoint_fn(epoch + 1, state, avg)
+        if snap is not None and (epoch + 1) % cfg.train.checkpoint_every == 0:
+            checkpoint_fn(epoch + 1, snap, avg)
+
+    cur_epoch, i, loss_vecs = 0, 0, []
+    staged_prev = None
+    t0 = time.perf_counter()
+    for epoch, wav in prefetch(_epoch_stream(), size=2):
+        if epoch != cur_epoch:
+            staged = _finish_epoch(cur_epoch, loss_vecs, t0)
+            if staged_prev is not None:
+                _finalize(staged_prev)
+            staged_prev = staged
+            cur_epoch, i, loss_vecs = epoch, 0, []
+            # epochs tile wall-clock: next epoch starts where this one's
+            # boundary was stamped, so per-epoch `sec` sums to total wall
+            t0 = staged[-1]
+        if wav is None:  # empty epoch placeholder
+            continue
+        state, aux = jit_step(state, frozen, wav)
+        if i == 0 and artifact_fn is not None:
+            artifact_fn(epoch, aux["mask_first"], aux)
+        loss_vecs.append(aux["loss_vec"])
+        if nan_every and (i + 1) % nan_every == 0:
+            probe = np.asarray(aux["loss_vec"])
+            if not np.all(np.isfinite(probe)):
+                _raise_nonfinite(epoch, np.asarray(jnp.stack(loss_vecs)))
+        i += 1
+    if num_epochs > 0:
+        staged = _finish_epoch(cur_epoch, loss_vecs, t0, drain=True)
+        if staged_prev is not None:
+            _finalize(staged_prev)
+        _finalize(staged)
     return state
 
 
