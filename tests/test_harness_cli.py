@@ -516,9 +516,13 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
         return {
             "band_hz": [kw["band"][0], kw["band"][1]],
             "after": {"flip_rate": 1.0},
+            "train_log": [{"epoch": 1, "loss": 0.5}],
             "final_masks": np.full((2, 64, 24), 0.5, np.float32),
             "final_magnitude": np.ones((2, 64, 24), np.float32),
-            "state": object(),
+            "final_relevant_wavs": np.zeros((1, 800), np.float32),
+            "final_irrelevant_wavs": np.zeros((1, 800), np.float32),
+            "eval_manipulated": np.zeros((2, 800), np.float32),
+            "state": {"unet": np.zeros(3, np.float32)},
         }
 
     monkeypatch.setattr(cl, "run_closed_loop", fake_loop)
@@ -537,3 +541,10 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
     assert os.path.exists(out / "final_mask_0.png")
     assert os.path.exists(out / "manipulated_spec_0.png")
     assert not os.path.exists(out / "final_mask_1.png")
+    # listenable artifacts + the trained-decoder checkpoint
+    assert seen["keep_wavs"] == 1  # min(artifact_limit, 4)
+    for stem in ("manipulated", "relevant", "irrelevant"):
+        assert os.path.exists(out / f"eval_0_{stem}.wav")
+    from xai_audio_deepfakes_tpu.train.checkpoints import latest_checkpoint
+
+    assert latest_checkpoint(str(out / "ckpts")) is not None

@@ -51,6 +51,7 @@ def _build_pipeline(args):
         train=TrainConfig(
             target_quant=getattr(args, "target_quant", "none"),
             target_gelu=getattr(args, "target_gelu", "exact"),
+            checkpoint_every=getattr(args, "checkpoint_every", 1),
         ),
     )
     pipe = ADDvisorPipeline(cfg)
@@ -415,10 +416,29 @@ def cmd_train(args):
 
         artifact_futures.append(artifact_pool.submit(_save))
 
+    # checkpoints also go through a worker: orbax's async_save only
+    # backgrounds the disk write — the device->host copy of the train state
+    # (~90 MB over this tunneled link) is synchronous at call time and was
+    # measured at ~2 s/epoch of the steady-state wall. The trainer hands us
+    # a private on-device snapshot (never donated), so the copy is safe off
+    # the dispatch thread.
+    ckpt_pool = ThreadPoolExecutor(max_workers=1)
+    ckpt_futures = []
+
     def checkpoint_fn(epoch, state, loss):
-        # async: host write overlaps the next epoch's device compute
-        save_checkpoint(
-            os.path.join(args.out, "ckpts"), epoch, loss, state, async_save=True
+        # bound in-flight checkpoints to ONE: each pending save pins an
+        # on-device state snapshot (~90 MB at full geometry); letting fast
+        # epochs outrun slow tunnel transfers piles snapshots up until HBM
+        # RESOURCE_EXHAUSTs (measured). The trainer prestarts the snapshot's
+        # host DMA, so this wait is usually near-zero.
+        if ckpt_futures:
+            ckpt_futures[-1].result()
+        ckpt_futures.append(
+            ckpt_pool.submit(
+                save_checkpoint,
+                os.path.join(args.out, "ckpts"), epoch, loss, state,
+                True,  # async_save: disk write overlaps too
+            )
         )
 
     from xai_audio_deepfakes_tpu.data.prefetch import prefetch_to_device
@@ -446,9 +466,10 @@ def cmd_train(args):
     )
     from xai_audio_deepfakes_tpu.train.checkpoints import wait_for_saves
 
-    for f in artifact_futures:  # surface any save error before exiting
+    for f in artifact_futures + ckpt_futures:  # surface save errors
         f.result()
     artifact_pool.shutdown()
+    ckpt_pool.shutdown()
     wait_for_saves()
     print(json.dumps({"trained_steps": int(state.step)}))
 
@@ -744,14 +765,34 @@ def cmd_closed_loop(args):
     )
     os.makedirs(args.out, exist_ok=True)
     logger = JSONLLogger(os.path.join(args.out, "closed_loop_log.jsonl"))
+    n_wavs = min(args.artifact_limit, 4)
     res = run_closed_loop(
         cfg, seed=args.seed, n_train=args.n_train, n_eval=args.n_eval,
         band=(args.band_lo, args.band_hi), epochs=args.epochs,
         batch_size=args.batch_size, noise_rms=args.noise_rms, mesh=mesh,
-        log_fn=logger,
+        log_fn=logger, keep_wavs=n_wavs,
     )
     masks, mags = res.pop("final_masks"), res.pop("final_magnitude")
-    res.pop("state")
+    rel = res.pop("final_relevant_wavs", None)
+    irr = res.pop("final_irrelevant_wavs", None)
+    manip = res.pop("eval_manipulated", None)
+    state = res.pop("state", None)
+    # the trained decoder, restorable by `cli eval/explain --checkpoint`
+    # (`train/train_addvisor.py::restore_decoder_for_inference`)
+    from xai_audio_deepfakes_tpu.train.checkpoints import (
+        save_checkpoint,
+        wait_for_saves,
+    )
+
+    if state is not None:
+        log = res.get("train_log") or []
+        final_loss = log[-1]["loss"] if log else 0.0
+        save_checkpoint(
+            os.path.join(args.out, "ckpts"), args.epochs, final_loss, state
+        )
+    from xai_audio_deepfakes_tpu.data.io import write_wav
+
+    sr = cfg.audio.sample_rate
     for i in range(min(args.artifact_limit, len(masks))):
         save_mask_png(
             masks[i], os.path.join(args.out, f"final_mask_{i}.png"),
@@ -762,8 +803,23 @@ def cmd_closed_loop(args):
             mags[i], os.path.join(args.out, f"manipulated_spec_{i}.png"),
             title="manipulated clip |STFT|",
         )
+    # the listenable product claim (`captum_saliency.py:136-143` shape):
+    # manipulated input + what the mask keeps + what it removes
+    if rel is not None:
+        for i in range(len(rel)):
+            write_wav(
+                os.path.join(args.out, f"eval_{i}_manipulated.wav"),
+                manip[i], sr,
+            )
+            write_wav(
+                os.path.join(args.out, f"eval_{i}_relevant.wav"), rel[i], sr
+            )
+            write_wav(
+                os.path.join(args.out, f"eval_{i}_irrelevant.wav"), irr[i], sr
+            )
     with open(os.path.join(args.out, "closed_loop.json"), "w") as f:
         json.dump(res, f, indent=1)
+    wait_for_saves()
     print(json.dumps(res))
 
 
@@ -946,6 +1002,12 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out/ckpts")
+    p.add_argument(
+        "--checkpoint-every", type=int, default=1, metavar="N",
+        help="checkpoint every N epochs (0 = never). Each save transfers "
+             "the full train state off-device; on short synthetic epochs "
+             "that transfer, not compute, bounds the epoch wall-clock",
+    )
     p.add_argument(
         "--target-quant", default="none", choices=["none", "int8"],
         help="int8 MXU matmuls for the gradient-free target embed only "

@@ -57,12 +57,17 @@ def evaluate_explanations(
     band: tuple[float, float],
     masking: MaskingConvention,
     batch_size: int,
+    keep_wavs: int = 0,
 ) -> dict:
     """Explain manipulated clips and score the product claim: LMAC metrics,
-    mask-vs-band localization, and decision keep/flip rates."""
+    mask-vs-band localization, and decision keep/flip rates. With
+    `keep_wavs` > 0, the first that-many clips' listenable relevant/
+    irrelevant waveforms are returned too (the reference's product is
+    *audible* explanations, `README.md:1-4`)."""
     explain = pipe.jit_explain(decoder="unet", masking=masking)
     masks, pc, pr, pi = [], [], [], []
     mags = []
+    rel_wavs, irr_wavs = [], []
     for i in range(0, len(wavs) - batch_size + 1, batch_size):
         out = explain(params, jnp.asarray(wavs[i : i + batch_size]))
         masks.append(np.asarray(out.mask))
@@ -70,6 +75,9 @@ def evaluate_explanations(
         pc.append(np.asarray(out.probs_clean))
         pr.append(np.asarray(out.probs_relevant))
         pi.append(np.asarray(out.probs_irrelevant))
+        if i < keep_wavs:
+            rel_wavs.append(np.asarray(out.relevant_wav[: keep_wavs - i]))
+            irr_wavs.append(np.asarray(out.irrelevant_wav[: keep_wavs - i]))
     masks = np.concatenate(masks)
     pc, pr, pi = (np.concatenate(x) for x in (pc, pr, pi))
     metrics = {
@@ -98,6 +106,8 @@ def evaluate_explanations(
         "flip_rate": float(np.mean(p_irr < 0.5)),
         "masks": masks,
         "magnitude": np.concatenate(mags),
+        "relevant_wavs": np.concatenate(rel_wavs) if rel_wavs else None,
+        "irrelevant_wavs": np.concatenate(irr_wavs) if irr_wavs else None,
     }
 
 
@@ -114,6 +124,7 @@ def run_closed_loop(
     log_fn: Callable[[dict], None] | None = None,
     artifact_fn=None,
     checkpoint_fn=None,
+    keep_wavs: int = 0,
 ) -> dict:
     """The full loop. Returns a dict with detector metrics, before/after
     explanation metrics + localization + keep/flip rates, the training log,
@@ -193,7 +204,8 @@ def run_closed_loop(
 
     # --- explanation quality AFTER ---
     after = evaluate_explanations(
-        pipe, trained, manip_ev, band, masking, batch_size
+        pipe, trained, manip_ev, band, masking, batch_size,
+        keep_wavs=keep_wavs,
     )
     # train-subset view: separates "the loss minimum localizes" from
     # "the decoder generalizes to held-out clips"
@@ -201,17 +213,21 @@ def run_closed_loop(
         pipe, trained, manip_tr[: len(manip_ev)], band, masking, batch_size
     )
 
+    arrays = ("masks", "magnitude", "relevant_wavs", "irrelevant_wavs")
     return {
         "band_hz": list(band),
         "detector": det_metrics,
         "detector_holdout": det_holdout,
-        "before": {k: v for k, v in before.items() if k not in ("masks", "magnitude")},
-        "after": {k: v for k, v in after.items() if k not in ("masks", "magnitude")},
+        "before": {k: v for k, v in before.items() if k not in arrays},
+        "after": {k: v for k, v in after.items() if k not in arrays},
         "after_train": {
-            k: v for k, v in after_train.items() if k not in ("masks", "magnitude")
+            k: v for k, v in after_train.items() if k not in arrays
         },
         "train_log": train_log,
         "final_masks": after["masks"],
         "final_magnitude": after["magnitude"],
+        "final_relevant_wavs": after["relevant_wavs"],
+        "final_irrelevant_wavs": after["irrelevant_wavs"],
+        "eval_manipulated": manip_ev,
         "state": state,
     }

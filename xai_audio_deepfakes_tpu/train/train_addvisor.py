@@ -324,9 +324,22 @@ def train_addvisor(
         # step before the deferred finalize runs — snapshot what finalize
         # needs as fresh on-device copies (enqueued, no host sync)
         w_snap = jnp.copy(state.w_raw)
-        snap = (
-            jax.tree.map(jnp.copy, state) if checkpoint_fn is not None else None
-        )
+        every = cfg.train.checkpoint_every
+        snap = None
+        # snapshot ONLY on epochs that will checkpoint: each snapshot is a
+        # full on-device state copy + host DMA (~90 MB at full geometry)
+        if checkpoint_fn is not None and every and (epoch + 1) % every == 0:
+            snap = jax.tree.map(jnp.copy, state)
+            # prestart the device->host DMA so a checkpoint_fn that reads
+            # the snapshot (orbax serialize) finds it already transferred
+            def _prefetch(x):
+                try:
+                    x.copy_to_host_async()
+                except AttributeError:
+                    pass
+                return x
+
+            jax.tree.map(_prefetch, snap)
         return (epoch, vec, snap, w_snap, t0, time.perf_counter())
 
     def _finalize(staged):
@@ -347,7 +360,7 @@ def train_addvisor(
         }
         if log_fn is not None:
             log_fn(record)
-        if snap is not None and (epoch + 1) % cfg.train.checkpoint_every == 0:
+        if snap is not None:  # staged only on checkpoint epochs
             checkpoint_fn(epoch + 1, snap, avg)
 
     cur_epoch, i, loss_vecs = 0, 0, []
