@@ -29,19 +29,21 @@ import jax.numpy as jnp
 DT = jnp.bfloat16
 
 
-def conv_native(x, w):  # x [B,L,C], w [k,Cin,Cout]
+def conv_native(x, w, stride=2):  # x [B,L,C], w [k,Cin,Cout]
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(2,), padding="VALID",
+        x, w, window_strides=(stride,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
 
 
-def conv_strided_matmul(x, w):
+def conv_strided_matmul(x, w, stride=2):
     k = w.shape[0]
-    lout = (x.shape[1] - k) // 2 + 1
+    lout = (x.shape[1] - k) // stride + 1
     acc = None
     for j in range(k):
-        xj = jax.lax.slice_in_dim(x, j, j + 2 * (lout - 1) + 1, 2, axis=1)
+        xj = jax.lax.slice_in_dim(
+            x, j, j + stride * (lout - 1) + 1, stride, axis=1
+        )
         yj = jax.lax.dot_general(
             xj, w[j],
             (((2,), (0,)), ((), ())),
@@ -54,11 +56,13 @@ def conv_strided_matmul(x, w):
 def bench(fn, x, w, iters=30):
     f = jax.jit(fn)
     y = f(x, w)
-    y.block_until_ready()
+    _ = float(y[0, 0, 0])  # dispatch barrier (see BASELINE.md timing note:
+    # block_until_ready returns early on this tunneled platform; a
+    # device->host transfer of a value dependent on the output is the barrier)
     t0 = time.perf_counter()
     for _ in range(iters):
         y = f(x, w)
-    y.block_until_ready()
+    _ = float(y[0, 0, 0])
     return (time.perf_counter() - t0) / iters * 1e3, y
 
 

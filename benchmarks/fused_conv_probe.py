@@ -55,11 +55,19 @@ print(f"PROBE_OK maxdiff={d:.3e}")
 
 def probe(b: int, l: int) -> dict:
     env = dict(os.environ)
-    r = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(b), str(l)],
-        capture_output=True, text=True, timeout=600, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _CHILD, str(b), str(l)],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    except subprocess.TimeoutExpired:
+        # a hung kernel is exactly the failure mode this probe exists to
+        # detect — mark the shape failed and keep sweeping
+        return {
+            "batch": b, "length": l, "ok": False,
+            "detail": "timeout after 600s",
+        }
     out = r.stdout.strip().splitlines()
     ok = any(line.startswith("PROBE_OK") for line in out)
     detail = next((s for s in out if s.startswith("PROBE_OK")), "")

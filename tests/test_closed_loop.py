@@ -89,6 +89,32 @@ def test_mask_band_stats_known_masks():
     assert st_crop["band_fraction"] == pytest.approx(0.0)  # band above crop
 
 
+def test_evaluate_explanations_covers_tail(rng):
+    """n not a multiple of batch_size must still score EVERY clip (the tail
+    batch is padded to the compiled shape and trimmed, not dropped)."""
+    from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+    from xai_audio_deepfakes_tpu.train.closed_loop import evaluate_explanations
+
+    pipe = ADDvisorPipeline(CFG)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    wavs = speechlike_clips(rng, 7, N, S.sample_rate)
+    res = evaluate_explanations(
+        pipe, params, wavs, (350.0, 650.0), CFG.loss.masking, batch_size=4,
+        keep_wavs=5,
+    )
+    assert res["masks"].shape[0] == 7
+    assert res["magnitude"].shape[0] == 7
+    assert res["relevant_wavs"].shape[0] == 5
+    # batching must not change per-clip results: clip 6 scored in the padded
+    # tail batch == clip 6 scored in a full batch
+    res_full = evaluate_explanations(
+        pipe, params, wavs, (350.0, 650.0), CFG.loss.masking, batch_size=7
+    )
+    np.testing.assert_allclose(
+        res["masks"][6], res_full["masks"][6], atol=1e-5
+    )
+
+
 def test_detector_separates_bandswap(rng):
     """A LogReg on mean-pooled (random-init) embeddings separates real vs
     band-spliced clips — the premise of `train_logReg_swapping.py:105-128`."""

@@ -58,26 +58,36 @@ def evaluate_explanations(
     masking: MaskingConvention,
     batch_size: int,
     keep_wavs: int = 0,
+    decoder: str = "unet",
 ) -> dict:
     """Explain manipulated clips and score the product claim: LMAC metrics,
     mask-vs-band localization, and decision keep/flip rates. With
     `keep_wavs` > 0, the first that-many clips' listenable relevant/
     irrelevant waveforms are returned too (the reference's product is
     *audible* explanations, `README.md:1-4`)."""
-    explain = pipe.jit_explain(decoder="unet", masking=masking)
+    explain = pipe.jit_explain(decoder=decoder, masking=masking)
     masks, pc, pr, pi = [], [], [], []
     mags = []
     rel_wavs, irr_wavs = [], []
-    for i in range(0, len(wavs) - batch_size + 1, batch_size):
-        out = explain(params, jnp.asarray(wavs[i : i + batch_size]))
-        masks.append(np.asarray(out.mask))
-        mags.append(np.asarray(out.magnitude))
-        pc.append(np.asarray(out.probs_clean))
-        pr.append(np.asarray(out.probs_relevant))
-        pi.append(np.asarray(out.probs_irrelevant))
+    for i in range(0, len(wavs), batch_size):
+        chunk = wavs[i : i + batch_size]
+        k = len(chunk)
+        if k < batch_size:
+            # pad the tail batch to the compiled shape and trim the outputs —
+            # every requested clip is scored (no silent coverage drop; the
+            # ragged-batch handling `serve/api.py` already applies)
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch_size - k, axis=0)]
+            )
+        out = explain(params, jnp.asarray(chunk))
+        masks.append(np.asarray(out.mask[:k]))
+        mags.append(np.asarray(out.magnitude[:k]))
+        pc.append(np.asarray(out.probs_clean[:k]))
+        pr.append(np.asarray(out.probs_relevant[:k]))
+        pi.append(np.asarray(out.probs_irrelevant[:k]))
         if i < keep_wavs:
-            rel_wavs.append(np.asarray(out.relevant_wav[: keep_wavs - i]))
-            irr_wavs.append(np.asarray(out.irrelevant_wav[: keep_wavs - i]))
+            rel_wavs.append(np.asarray(out.relevant_wav[:k][: keep_wavs - i]))
+            irr_wavs.append(np.asarray(out.irrelevant_wav[:k][: keep_wavs - i]))
     masks = np.concatenate(masks)
     pc, pr, pi = (np.concatenate(x) for x in (pc, pr, pi))
     metrics = {
