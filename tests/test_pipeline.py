@@ -102,6 +102,25 @@ def test_vocode_shapes(pipe, params, wav):
     assert np.all(np.isfinite(np.asarray(voc)))
 
 
+def test_explain_vocoded_one_graph_parity(pipe, params, wav):
+    """The fused listenable path (SURVEY §7 step 8: wav -> mask -> masked
+    iSTFT -> mel -> HiFi-GAN as ONE jitted graph) matches the two-graph
+    composition jit(explain) then jit(vocode)."""
+    fused = pipe.jit_explain_vocoded(decoder="unet")
+    out_f, voc_f = fused(params, wav)
+    out_2 = pipe.jit_explain(decoder="unet")(params, wav)
+    voc_2 = jax.jit(pipe.vocode)(params, out_2.relevant_wav)
+    np.testing.assert_allclose(
+        np.asarray(out_f.mask), np.asarray(out_2.mask), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(voc_f), np.asarray(voc_2), atol=1e-4
+    )
+    frames = 1 + pipe.cfg.audio.num_samples // pipe.cfg.mel.hop_length
+    upsample = int(np.prod(pipe.cfg.hifigan.upsample_rates))
+    assert voc_f.shape == (wav.shape[0], frames * upsample)
+
+
 def test_explain_feature_decoder_alignment():
     """decoder='features' requires the frame-alignment trick (SSL frames ==
     STFT frames). Verified structurally with the full-size strides: both are

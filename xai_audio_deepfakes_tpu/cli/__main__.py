@@ -270,13 +270,17 @@ def cmd_explain(args):
     import jax
 
     pipe, params = _build_pipeline(args)
-    explain = pipe.jit_explain(
-        decoder=args.decoder, masking=MaskingConvention(args.masking)
-    )
-    vocode = None
     if args.synthesize:
+        # wav -> mask -> masked iSTFT -> mel -> HiFi-GAN as ONE jitted graph
+        # (SURVEY §7 step 8; `pipeline/core.py::explain_vocoded`)
         _load_hifigan(args, pipe, params)
-        vocode = jax.jit(pipe.vocode)
+        explain = pipe.jit_explain_vocoded(
+            decoder=args.decoder, masking=MaskingConvention(args.masking)
+        )
+    else:
+        explain = pipe.jit_explain(
+            decoder=args.decoder, masking=MaskingConvention(args.masking)
+        )
     os.makedirs(args.out, exist_ok=True)
     results = []
     items = []  # (stem, source, wav[80000])
@@ -296,28 +300,32 @@ def cmd_explain(args):
     # fixed-shape batched dispatches: pad the tail so every call hits the
     # same compiled program (one compile, full MXU batches)
     bs = max(1, args.batch_size)
-    outs = []
+    outs, vocs = [], []
     for i in range(0, len(items), bs):
         group = items[i : i + bs]
         rows = np.zeros((bs, pipe.cfg.audio.num_samples), np.float32)
         for j, (_, _, w) in enumerate(group):
             rows[j] = w
-        out = explain(params, jnp.asarray(rows))
+        if args.synthesize:
+            out, voc = explain(params, jnp.asarray(rows))
+            vocs.extend(np.asarray(voc[j]) for j in range(len(group)))
+        else:
+            out = explain(params, jnp.asarray(rows))
+            vocs.extend([None] * len(group))
         outs.extend(
             jax.tree.map(lambda x, j=j: np.asarray(x[j : j + 1]), out)
             for j in range(len(group))
         )
-    for (stem, path, wav), out in zip(items, outs):
+    for (stem, path, wav), out, voc in zip(items, outs, vocs):
         write_wav(os.path.join(args.out, f"{stem}_original.wav"), wav)
         write_wav(
             os.path.join(args.out, f"{stem}_explanation.wav"),
             np.asarray(out.relevant_wav[0]),
         )
-        if vocode is not None:
-            voc = vocode(params, out.relevant_wav)
+        if voc is not None:
             write_wav(
                 os.path.join(args.out, f"{stem}_explanation_vocoded.wav"),
-                np.asarray(voc[0]),
+                voc,
             )
         mag = np.asarray(out.magnitude[0])
         mask = np.asarray(out.mask[0])
@@ -741,6 +749,8 @@ def cmd_closed_loop(args):
     made checkable without external weights; `train/closed_loop.py`)."""
     from xai_audio_deepfakes_tpu.config import (
         EmbedderConfig,
+        LossConfig,
+        MaskingConvention,
         PipelineConfig,
         STFTConfig,
         TrainConfig,
@@ -762,6 +772,7 @@ def cmd_closed_loop(args):
         ),
         unet=UNetConfig(quant=args.unet_quant),
         train=TrainConfig(model_lr=args.model_lr),
+        loss=LossConfig(masking=MaskingConvention(args.loss_masking)),
     )
     os.makedirs(args.out, exist_ok=True)
     logger = JSONLLogger(os.path.join(args.out, "closed_loop_log.jsonl"))
@@ -770,8 +781,10 @@ def cmd_closed_loop(args):
         cfg, seed=args.seed, n_train=args.n_train, n_eval=args.n_eval,
         band=(args.band_lo, args.band_hi), epochs=args.epochs,
         batch_size=args.batch_size, noise_rms=args.noise_rms, mesh=mesh,
-        log_fn=logger, keep_wavs=n_wavs,
+        log_fn=logger, keep_wavs=n_wavs, anyband=args.anyband,
+        band_width=args.band_width, decoder=args.decoder,
     )
+    eval_bands = res.get("eval_bands_hz")
     masks, mags = res.pop("final_masks"), res.pop("final_magnitude")
     rel = res.pop("final_relevant_wavs", None)
     irr = res.pop("final_irrelevant_wavs", None)
@@ -794,10 +807,14 @@ def cmd_closed_loop(args):
 
     sr = cfg.audio.sample_rate
     for i in range(min(args.artifact_limit, len(masks))):
+        lo, hi = (
+            (eval_bands[i][0], eval_bands[i][1])
+            if eval_bands
+            else (args.band_lo, args.band_hi)
+        )
         save_mask_png(
             masks[i], os.path.join(args.out, f"final_mask_{i}.png"),
-            title=f"learned mask, artifact band {args.band_lo:.0f}-"
-                  f"{args.band_hi:.0f} Hz",
+            title=f"learned mask, artifact band {lo:.0f}-{hi:.0f} Hz",
         )
         save_spectrogram_png(
             mags[i], os.path.join(args.out, f"manipulated_spec_{i}.png"),
@@ -1097,6 +1114,29 @@ def main(argv=None):
     _common(p)
     p.add_argument("--band-lo", type=float, default=2000.0)
     p.add_argument("--band-hi", type=float, default=3000.0)
+    p.add_argument(
+        "--anyband", action="store_true",
+        help="draw the artifact band PER CLIP from the 1 kHz grid (the "
+             "reference's anyband protocol, train_logReg_swapping.py:70-92) "
+             "and score per-clip localization + input-dependence; "
+             "--band-lo/--band-hi are ignored",
+    )
+    p.add_argument(
+        "--band-width", type=float, default=1000.0,
+        help="anyband grid band width in Hz (grid spans [0, 8000))",
+    )
+    p.add_argument(
+        "--decoder", default="unet", choices=["unet", "features"],
+        help="which mask decoder the loop trains: the current-generation "
+             "UNet or the legacy feature-input decoder "
+             "(LMAC_metrics.py:133 consumer)",
+    )
+    p.add_argument(
+        "--loss-masking", default="linear", choices=["linear", "log1p"],
+        help="masking convention for BOTH the training loss and the eval "
+             "(linear = training convention loss_function.py:38-45; log1p = "
+             "the eval/serving convention LMAC_metrics.py:136-153)",
+    )
     p.add_argument("--n-train", type=int, default=64)
     p.add_argument("--n-eval", type=int, default=16)
     p.add_argument("--epochs", type=int, default=60)

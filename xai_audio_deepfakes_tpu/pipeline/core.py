@@ -208,6 +208,33 @@ class ADDvisorPipeline:
         mel = mel_spectrogram(wav, self.cfg.mel)
         return self.hifigan.apply(params["hifigan"], mel)
 
+    def explain_vocoded(
+        self,
+        params: dict,
+        wav: jnp.ndarray,
+        decoder: str = "unet",
+        masking: MaskingConvention | None = None,
+    ) -> tuple[ExplainOutput, jnp.ndarray]:
+        """The FULL listenable path as ONE XLA program (SURVEY §7 step 8):
+        wav -> STFT -> mask -> masked iSTFT -> mel -> HiFi-GAN -> vocoded
+        explanation. Returns (ExplainOutput, vocoded_relevant [B, L']).
+
+        The reference runs this as two disconnected scripts (explanation in
+        `LMAC_metrics.py:136-153`, vocoding one file at a time through
+        SpeechBrain in `hifigan.py:163-180`); fusing them lets XLA overlap
+        the HiFi-GAN conv stack with the explain graph's tail and drops one
+        host round-trip per batch."""
+        out = self.explain(params, wav, decoder, masking)
+        return out, self.vocode(params, out.relevant_wav)
+
+    def jit_explain_vocoded(self, decoder: str = "unet",
+                            masking: MaskingConvention | None = None):
+        return jax.jit(
+            lambda params, wav: self.explain_vocoded(
+                params, wav, decoder, masking
+            )
+        )
+
     # ------------------------------------------------------------------
     # jit entry points
     # ------------------------------------------------------------------

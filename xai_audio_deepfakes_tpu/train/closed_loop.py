@@ -41,10 +41,15 @@ from xai_audio_deepfakes_tpu.config import (
 )
 from xai_audio_deepfakes_tpu.data.synthetic import (
     detector_corpus,
+    detector_corpus_anyband,
+    make_anyband_corpus,
     make_bandswap_corpus,
 )
 from xai_audio_deepfakes_tpu.metrics.lmac_metrics import summarize
-from xai_audio_deepfakes_tpu.metrics.localization import mask_band_stats
+from xai_audio_deepfakes_tpu.metrics.localization import (
+    mask_band_stats,
+    per_clip_band_stats,
+)
 from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 from xai_audio_deepfakes_tpu.train.train_addvisor import train_addvisor
 from xai_audio_deepfakes_tpu.train.train_logreg import train_detector
@@ -54,17 +59,25 @@ def evaluate_explanations(
     pipe: ADDvisorPipeline,
     params: dict,
     wavs: np.ndarray,
-    band: tuple[float, float],
+    band: tuple[float, float] | None,
     masking: MaskingConvention,
     batch_size: int,
     keep_wavs: int = 0,
     decoder: str = "unet",
+    bands: np.ndarray | None = None,
+    band_width: float = 1000.0,
+    f_max: float = 8000.0,
 ) -> dict:
     """Explain manipulated clips and score the product claim: LMAC metrics,
     mask-vs-band localization, and decision keep/flip rates. With
     `keep_wavs` > 0, the first that-many clips' listenable relevant/
     irrelevant waveforms are returned too (the reference's product is
-    *audible* explanations, `README.md:1-4`)."""
+    *audible* explanations, `README.md:1-4`).
+
+    `band` scores every mask against one corpus-wide artifact band;
+    `bands` [B, 2] scores each mask against ITS clip's band plus the
+    input-dependence statistics (`metrics/localization.py::
+    per_clip_band_stats`) — the anyband protocol."""
     explain = pipe.jit_explain(decoder=decoder, masking=masking)
     masks, pc, pr, pi = [], [], [], []
     mags = []
@@ -101,12 +114,19 @@ def evaluate_explanations(
     p_rel = np.asarray(manipulated_probability(pr[:, 0], pol))
     p_irr = np.asarray(manipulated_probability(pi[:, 0], pol))
     uc = pipe.cfg.unet
-    return {
-        "metrics": metrics,
-        "localization": mask_band_stats(
+    if bands is not None:
+        localization = per_clip_band_stats(
+            masks, pipe.cfg.stft, bands, band_width, f_max,
+            freq_bins=uc.freq_bins, frames=uc.frames,
+        )
+    else:
+        localization = mask_band_stats(
             masks, pipe.cfg.stft, band[0], band[1],
             freq_bins=uc.freq_bins, frames=uc.frames,
-        ),
+        )
+    return {
+        "metrics": metrics,
+        "localization": localization,
         "p_manipulated_clean": float(p_clean.mean()),
         "p_manipulated_relevant": float(p_rel.mean()),
         "p_manipulated_irrelevant": float(p_irr.mean()),
@@ -135,18 +155,38 @@ def run_closed_loop(
     artifact_fn=None,
     checkpoint_fn=None,
     keep_wavs: int = 0,
+    anyband: bool = False,
+    band_width: float = 1000.0,
+    f_max: float = 8000.0,
+    decoder: str = "unet",
 ) -> dict:
     """The full loop. Returns a dict with detector metrics, before/after
     explanation metrics + localization + keep/flip rates, the training log,
-    and the final eval masks (for PNG artifacts)."""
+    and the final eval masks (for PNG artifacts).
+
+    With `anyband`, the artifact band is drawn PER CLIP from the grid of
+    `band_width` bands in [0, f_max) — the reference's actual protocol
+    (`train_logReg_swapping.py:70-92`, checkpoint
+    `logReg_vocoded_anyband.joblib`) — and localization is scored per clip
+    with input-dependence statistics (cross-clip mask IoU, wrong-band
+    control); `band` is ignored."""
     rng = np.random.default_rng(seed)
     n_samples = cfg.audio.num_samples
-    real_tr, manip_tr = make_bandswap_corpus(
-        rng, n_train, n_samples, cfg.stft, band[0], band[1], noise_rms
-    )
-    real_ev, manip_ev = make_bandswap_corpus(
-        rng, n_eval, n_samples, cfg.stft, band[0], band[1], noise_rms
-    )
+    bands_tr = bands_ev = None
+    if anyband:
+        real_tr, manip_tr, bands_tr = make_anyband_corpus(
+            rng, n_train, n_samples, cfg.stft, band_width, f_max, noise_rms
+        )
+        real_ev, manip_ev, bands_ev = make_anyband_corpus(
+            rng, n_eval, n_samples, cfg.stft, band_width, f_max, noise_rms
+        )
+    else:
+        real_tr, manip_tr = make_bandswap_corpus(
+            rng, n_train, n_samples, cfg.stft, band[0], band[1], noise_rms
+        )
+        real_ev, manip_ev = make_bandswap_corpus(
+            rng, n_eval, n_samples, cfg.stft, band[0], band[1], noise_rms
+        )
 
     pipe = ADDvisorPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(seed))
@@ -158,16 +198,26 @@ def run_closed_loop(
     embed = jax.jit(lambda p, w: jnp.mean(pipe.features(p, w), axis=1))
 
     def embed_all(wavs):
-        return np.concatenate(
-            [
-                np.asarray(embed(params, jnp.asarray(wavs[i : i + batch_size])))
-                for i in range(0, len(wavs), batch_size)
-            ]
-        )
+        out = []
+        for i in range(0, len(wavs), batch_size):
+            chunk = wavs[i : i + batch_size]
+            k = len(chunk)
+            if k < batch_size:  # pad the tail to the compiled shape
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch_size - k, axis=0)]
+                )
+            out.append(np.asarray(embed(params, jnp.asarray(chunk)))[:k])
+        return np.concatenate(out)
 
-    det_wavs, y = detector_corpus(
-        real_tr, manip_tr, cfg.stft, band[0], band[1], rng=rng
-    )
+    if anyband:
+        det_wavs, y = detector_corpus_anyband(
+            real_tr, manip_tr, cfg.stft, bands_tr, band_width, f_max,
+            rng=rng, noise_rms=noise_rms,
+        )
+    else:
+        det_wavs, y = detector_corpus(
+            real_tr, manip_tr, cfg.stft, band[0], band[1], rng=rng
+        )
     x = embed_all(det_wavs)
     det_params, det_metrics = train_detector(x, y, log_fn=log_fn)
     # held-out check on the eval corpus (un-augmented: the base protocol)
@@ -182,8 +232,11 @@ def run_closed_loop(
 
     # --- explanation quality BEFORE decoder training (the control) ---
     masking = cfg.loss.masking
+    loc_kw = dict(
+        bands=bands_ev, band_width=band_width, f_max=f_max, decoder=decoder
+    )
     before = evaluate_explanations(
-        pipe, params, manip_ev, band, masking, batch_size
+        pipe, params, manip_ev, band, masking, batch_size, **loc_kw
     )
 
     # --- train the mask decoder against the trained detector ---
@@ -205,27 +258,37 @@ def run_closed_loop(
 
     state = train_addvisor(
         pipe, params, batches, num_epochs=epochs, mesh=mesh, log_fn=_log,
-        artifact_fn=artifact_fn, checkpoint_fn=checkpoint_fn,
+        artifact_fn=artifact_fn, checkpoint_fn=checkpoint_fn, decoder=decoder,
     )
+    from xai_audio_deepfakes_tpu.train.train_addvisor import decoder_params_key
+
     trained = dict(params)
-    trained["unet"] = {"params": state.unet_params}
+    key = decoder_params_key(decoder)
+    trained[key] = {"params": state.unet_params}
     if state.unet_batch_stats:
-        trained["unet"]["batch_stats"] = state.unet_batch_stats
+        trained[key]["batch_stats"] = state.unet_batch_stats
 
     # --- explanation quality AFTER ---
     after = evaluate_explanations(
         pipe, trained, manip_ev, band, masking, batch_size,
-        keep_wavs=keep_wavs,
+        keep_wavs=keep_wavs, **loc_kw,
     )
     # train-subset view: separates "the loss minimum localizes" from
     # "the decoder generalizes to held-out clips"
+    n_sub = len(manip_ev)
     after_train = evaluate_explanations(
-        pipe, trained, manip_tr[: len(manip_ev)], band, masking, batch_size
+        pipe, trained, manip_tr[:n_sub], band, masking, batch_size,
+        bands=None if bands_tr is None else bands_tr[:n_sub],
+        band_width=band_width, f_max=f_max, decoder=decoder,
     )
 
     arrays = ("masks", "magnitude", "relevant_wavs", "irrelevant_wavs")
     return {
-        "band_hz": list(band),
+        "band_hz": None if anyband else list(band),
+        "anyband": anyband,
+        "decoder": decoder,
+        "masking": str(getattr(masking, "value", masking)),
+        "eval_bands_hz": None if bands_ev is None else bands_ev.tolist(),
         "detector": det_metrics,
         "detector_holdout": det_holdout,
         "before": {k: v for k, v in before.items() if k not in arrays},

@@ -44,7 +44,12 @@ from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
 class AddvisorTrainState(NamedTuple):
     """Everything that evolves during training. Frozen components (embedder,
-    LogReg) live outside, passed separately so they can be sharded once."""
+    LogReg) live outside, passed separately so they can be sharded once.
+
+    `unet_params`/`unet_batch_stats` hold whichever mask decoder is being
+    trained: the current-generation UNet (decoder="unet") or the legacy
+    feature-input decoder (decoder="features" — the `ADDvisor` consumed at
+    `LMAC_metrics.py:133`; it has no batch stats, so that leaf stays {})."""
 
     unet_params: Any
     unet_batch_stats: Any
@@ -54,17 +59,27 @@ class AddvisorTrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def decoder_params_key(decoder: str) -> str:
+    """Param-tree key for the trainable mask decoder."""
+    if decoder == "unet":
+        return "unet"
+    if decoder == "features":
+        return "feat_decoder"
+    raise ValueError(f"unknown decoder {decoder!r}")
+
+
 def init_train_state(
     pipe: ADDvisorPipeline, params: dict, tx_model: optax.GradientTransformation,
-    tx_w: optax.GradientTransformation,
+    tx_w: optax.GradientTransformation, decoder: str = "unet",
 ) -> AddvisorTrainState:
-    unet_params = params["unet"]["params"]
+    tree = params[decoder_params_key(decoder)]
+    dec_params = tree["params"]
     w_raw = LMACLossState.init(pipe.cfg.loss).w_raw
     return AddvisorTrainState(
-        unet_params=unet_params,
-        unet_batch_stats=params["unet"].get("batch_stats", {}),
+        unet_params=dec_params,
+        unet_batch_stats=tree.get("batch_stats", {}),
         w_raw=w_raw,
-        opt_model=tx_model.init(unet_params),
+        opt_model=tx_model.init(dec_params),
         opt_w=tx_w.init(w_raw),
         step=jnp.zeros((), jnp.int32),
     )
@@ -78,14 +93,22 @@ def make_train_step(
     pipe: ADDvisorPipeline,
     tx_model: optax.GradientTransformation,
     tx_w: optax.GradientTransformation,
+    decoder: str = "unet",
 ) -> Callable:
     """-> step(state, frozen, wav) -> (state, aux dict).
 
     `frozen` = {'encoder': vars, 'logreg': params} — the 2B embedder + head.
     `wav` [B, 80000]. The whole body jits; call through jax.jit (see
     `train_addvisor` below, which also installs shardings).
+
+    decoder="features" trains the legacy feature-input decoder instead of
+    the UNet (`LMAC_metrics.py:133` consumer): the clean embed is computed
+    ONCE and reused as both the (stop-gradient) detector target and the
+    decoder input, so the step still costs 3 embedder forwards + 2
+    backwards like the UNet path.
     """
     cfg = pipe.cfg
+    decoder_params_key(decoder)  # validate early
 
     # Optional fast path for the target-producing clean embed (see
     # TrainConfig.target_quant): a second encoder module over the SAME params
@@ -132,21 +155,43 @@ def make_train_step(
     def step(state: AddvisorTrainState, frozen: dict, wav: jnp.ndarray):
         # --- collate stage (`train_addvisor.py:247-260`), now on-device ---
         _, _, mag, phase = pipe.spectrogram(wav)
-        yhat_logits = classify_wav_target(frozen, wav)
+        if decoder == "features":
+            # one clean embed serves target AND decoder input (exact path:
+            # the decoder consumes these features, so no quantized target
+            # fast path here)
+            norm = zero_mean_unit_var_norm(wav)
+            feats = (
+                pipe.features_fn(frozen["encoder"], norm)
+                if pipe.features_fn is not None
+                else pipe.encoder.apply(frozen["encoder"], norm)
+            )
+            feats = jax.lax.stop_gradient(feats)
+            yhat_logits, _ = logreg_apply(
+                frozen["logreg"], jnp.mean(feats, axis=1)
+            )
+        else:
+            feats = None
+            yhat_logits = classify_wav_target(frozen, wav)
         class_pred = jax.nn.sigmoid(jax.lax.stop_gradient(yhat_logits))
         mag_c = crop_spec(mag, cfg.unet.freq_bins, cfg.unet.frames)
 
-        def loss_fn(unet_params, w_raw):
-            mask, updates = pipe.unet.apply(
-                {"params": unet_params, "batch_stats": state.unet_batch_stats},
-                mag_c, train=True, mutable=["batch_stats"],
-            )
+        def loss_fn(dec_params, w_raw):
+            if decoder == "features":
+                mask = pipe.feat_decoder.apply({"params": dec_params}, feats)
+                new_stats = state.unet_batch_stats  # none for this decoder
+            else:
+                mask, updates = pipe.unet.apply(
+                    {"params": dec_params,
+                     "batch_stats": state.unet_batch_stats},
+                    mag_c, train=True, mutable=["batch_stats"],
+                )
+                new_stats = updates["batch_stats"]
             total, losses, w = lmac_loss(
                 w_raw, mask, mag, phase, class_pred,
                 lambda x: classify_wav(frozen, x),
                 pipe.istft, cfg.loss,
             )
-            return total, (losses, w, updates["batch_stats"], mask)
+            return total, (losses, w, new_stats, mask)
 
         (total, (losses, w, new_stats, mask)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -192,15 +237,17 @@ def train_addvisor(
     artifact_fn: Callable[[int, Any, dict], None] | None = None,
     checkpoint_fn: Callable[[int, AddvisorTrainState, float], None] | None = None,
     initial_state: AddvisorTrainState | None = None,
+    decoder: str = "unet",
 ) -> AddvisorTrainState:
     """Epoch loop (`train_addvisor.py:345-393`). `batches()` yields wav
     arrays [B, 80000] per epoch. Artifacts/checkpoints/logging are injected
     so the loop stays host-side-effect free otherwise. Pass `initial_state`
-    (e.g. a restored checkpoint) to resume."""
+    (e.g. a restored checkpoint) to resume. `decoder` selects the trainable
+    mask decoder ("unet" | "features", see `make_train_step`)."""
     cfg = pipe.cfg
     tx_model, tx_w = make_optimizers(cfg)
     state = (
-        init_train_state(pipe, params, tx_model, tx_w)
+        init_train_state(pipe, params, tx_model, tx_w, decoder)
         if initial_state is None
         else initial_state
     )
@@ -267,10 +314,10 @@ def train_addvisor(
             "encoder": shard_params(frozen["encoder"], mesh, enc_specs),
             "logreg": shard_params(frozen["logreg"], mesh),
         }
-        step_fn = make_train_step(pipe, tx_model, tx_w)
+        step_fn = make_train_step(pipe, tx_model, tx_w, decoder)
         jit_step = jax.jit(step_fn, in_shardings=(rep, None, data), donate_argnums=(0,))
     else:
-        step_fn = make_train_step(pipe, tx_model, tx_w)
+        step_fn = make_train_step(pipe, tx_model, tx_w, decoder)
         jit_step = jax.jit(step_fn, donate_argnums=(0,))
 
     num_epochs = cfg.train.num_epochs if num_epochs is None else num_epochs
