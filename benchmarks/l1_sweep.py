@@ -1,0 +1,102 @@
+"""Sparsity/fidelity frontier: sweep the L1 mask penalty in the closed loop.
+
+Round-3 verdict: the learned mask kept substantial out-of-band mass
+(out_band_mean 0.232 at the default penalty) — the "relevant" wav still
+carried most non-evidence content. This sweeps `LossConfig.l1_scale`
+(1.0 = exact reference formula, `loss_function.py:60`) through the anyband
+closed loop IN ONE PROCESS: w_raw is a traced input and l1_scale only
+rescales one constant, so every sweep point reuses the same compiled
+train/eval programs after the first.
+
+Usage:
+  python benchmarks/l1_sweep.py [--scales 0.5,1,2,4] [--epochs 80]
+         [--n-train 64] [--n-eval 32] [--out docs/closed_loop_anyband]
+
+Prints one JSON line per point and writes l1_sweep.json to --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="0.5,1,2,4")
+    ap.add_argument("--epochs", type=int, default=80)
+    ap.add_argument("--n-train", type=int, default=64)
+    ap.add_argument("--n-eval", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--model-lr", type=float, default=3e-4)
+    ap.add_argument("--out", default="docs/closed_loop_anyband")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny-geometry smoke (CPU) instead of full")
+    args = ap.parse_args()
+
+    from xai_audio_deepfakes_tpu.config import (
+        EmbedderConfig,
+        LossConfig,
+        PipelineConfig,
+        TrainConfig,
+    )
+    from xai_audio_deepfakes_tpu.train.closed_loop import run_closed_loop
+
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from tests.test_pipeline import tiny_config
+
+        base = tiny_config()
+        band_kw = dict(band_width=200.0, f_max=800.0)
+    else:
+        base = PipelineConfig(
+            embedder=EmbedderConfig(
+                dtype="bfloat16", scan_layers=True, remat=True,
+                remat_policy="dots",
+            ),
+        )
+        band_kw = dict(band_width=1000.0, f_max=8000.0)
+    base = base.replace(train=TrainConfig(model_lr=args.model_lr))
+
+    rows = []
+    for scale in [float(s) for s in args.scales.split(",")]:
+        cfg = base.replace(
+            loss=dataclasses.replace(base.loss, l1_scale=scale)
+        )
+        res = run_closed_loop(
+            cfg, seed=args.seed, n_train=args.n_train, n_eval=args.n_eval,
+            epochs=args.epochs, batch_size=args.batch_size, noise_rms=1.0,
+            anyband=True, **band_kw,
+        )
+        loc = res["after"]["localization"]
+        row = {
+            "l1_scale": scale,
+            "own_iou": loc["own_iou_mean"],
+            "other_iou": loc["other_iou_mean"],
+            "own_in_band_mean": loc["own_in_band_mean"],
+            "own_out_band_mean": loc["own_out_band_mean"],
+            "cross_band_pair_iou": loc["cross_band_pair_iou"],
+            "keep_rate": res["after"]["keep_rate"],
+            "flip_rate": res["after"]["flip_rate"],
+            "faithfulness": res["after"]["metrics"].get("faithfulness"),
+            "final_loss": res["train_log"][-1]["loss"] if res["train_log"] else None,
+            "final_w": res["train_log"][-1]["w"] if res["train_log"] else None,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "l1_sweep.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -210,6 +210,7 @@ def test_evaluate_explanations_covers_tail(rng):
     )
 
 
+@pytest.mark.e2e
 def test_anyband_loop_masks_track_per_clip_band():
     """End-to-end tiny anyband loop: the trained decoder's masks must be
     INPUT-DEPENDENT — each held-out mask matches its clip's own band better
@@ -277,6 +278,7 @@ def aligned_features_config():
     )
 
 
+@pytest.mark.e2e
 def test_features_decoder_closed_loop_log1p():
     """VERDICT r3 #8: the SECOND decoder (legacy feature-input) under the
     SECOND masking convention (log1p, the reference's eval/UI path,

@@ -88,6 +88,18 @@ def test_lmac_loss_formula(rng):
     )(mask)
     assert np.all(np.isfinite(np.asarray(g))) and float(jnp.max(jnp.abs(g))) > 0
 
+    # l1_scale multiplies ONLY the sparsity term (1.0 = exact reference
+    # formula; the frontier knob of LossConfig.l1_scale)
+    import dataclasses
+
+    total_s, losses_s, _ = lmac_loss(
+        w_raw, mask, mag, phase, class_pred, classify_wav, istft_fn,
+        dataclasses.replace(LossConfig(), l1_scale=4.0),
+    )
+    np.testing.assert_allclose(float(losses_s[2]), 4.0 * float(losses[2]), rtol=1e-6)
+    np.testing.assert_allclose(float(losses_s[0]), float(losses[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(losses_s[1]), float(losses[1]), rtol=1e-6)
+
 
 def test_metrics_formulas():
     p = jnp.asarray([[0.9], [0.2], [0.6], [0.4]])

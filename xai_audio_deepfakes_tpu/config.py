@@ -285,6 +285,12 @@ class LossConfig:
     w_init: tuple = (3.0, 0.5, 3.0)
     reg_w_tv: float = 0.0
     masking: MaskingConvention = MaskingConvention.LINEAR
+    l1_scale: float = 1.0  # fixed multiplier on the L1 sparsity term. The
+    # reference has no such knob (its only sparsity control is the learnable
+    # w[2], whose post-step renorm couples it to w_in/w_out); 1.0 is exact
+    # reference behavior. >1 trades fidelity for sparser, more listenable
+    # masks — the sparsity/fidelity frontier is measured in
+    # docs/performance.md (round 4 L1 sweep).
 
 
 @dataclass(frozen=True)

@@ -100,7 +100,10 @@ def lmac_loss(
 
     l_in = bce_with_logits(rel_logits, class_pred)
     l_out = bce_with_logits(irr_logits, 1.0 - class_pred)
-    l1 = jnp.mean(jnp.abs(mask))
+    # cfg.l1_scale=1.0 is the reference formula (`loss_function.py:60`); the
+    # knob exposes the sparsity/fidelity frontier the learnable-w renorm
+    # otherwise pins (see LossConfig.l1_scale)
+    l1 = cfg.l1_scale * jnp.mean(jnp.abs(mask))
 
     losses = jnp.stack([l_in, l_out, l1])
     w = softplus_weights(w_raw)
