@@ -530,13 +530,22 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
     cli.main(
         ["closed-loop", "--out", str(out), "--band-lo", "400", "--band-hi",
          "900", "--epochs", "3", "--n-train", "8", "--n-eval", "4",
-         "--model-lr", "1e-3", "--artifact-limit", "1"]
+         "--model-lr", "1e-3", "--artifact-limit", "1",
+         "--anyband", "--band-width", "500", "--decoder", "features",
+         "--loss-masking", "log1p"]
     )
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["band_hz"] == [400.0, 900.0]
     assert "final_masks" not in printed and "state" not in printed
     assert seen["cfg"].train.model_lr == 1e-3
     assert seen["epochs"] == 3 and seen["n_train"] == 8
+    # round-4 flags reach the loop: anyband protocol, grid width, decoder
+    # choice, and the masking convention (which feeds BOTH loss and eval)
+    assert seen["anyband"] is True and seen["band_width"] == 500.0
+    assert seen["decoder"] == "features"
+    from xai_audio_deepfakes_tpu.config import MaskingConvention
+
+    assert seen["cfg"].loss.masking is MaskingConvention.LOG1P
     assert os.path.exists(out / "closed_loop.json")
     assert os.path.exists(out / "final_mask_0.png")
     assert os.path.exists(out / "manipulated_spec_0.png")
