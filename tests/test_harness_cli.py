@@ -522,6 +522,7 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
             "final_relevant_wavs": np.zeros((1, 800), np.float32),
             "final_irrelevant_wavs": np.zeros((1, 800), np.float32),
             "eval_manipulated": np.zeros((2, 800), np.float32),
+            "final_probs": np.asarray([[0.9, 0.8, 0.1]], np.float32),
             "state": {"unet": np.zeros(3, np.float32)},
         }
 
@@ -554,6 +555,10 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
     assert seen["keep_wavs"] == 1  # min(artifact_limit, 4)
     for stem in ("manipulated", "relevant", "irrelevant"):
         assert os.path.exists(out / f"eval_0_{stem}.wav")
+    # held-out explanations are browsable via the same gallery cli serve
+    # hosts (round-4 addition)
+    assert os.path.exists(out / "index.html")
+    assert "eval_0_relevant.wav" in (out / "index.html").read_text()
     from xai_audio_deepfakes_tpu.train.checkpoints import latest_checkpoint
 
     assert latest_checkpoint(str(out / "ckpts")) is not None

@@ -789,6 +789,7 @@ def cmd_closed_loop(args):
     rel = res.pop("final_relevant_wavs", None)
     irr = res.pop("final_irrelevant_wavs", None)
     manip = res.pop("eval_manipulated", None)
+    probs = res.pop("final_probs", None)
     state = res.pop("state", None)
     # the trained decoder, restorable by `cli eval/explain --checkpoint`
     # (`train/train_addvisor.py::restore_decoder_for_inference`)
@@ -822,7 +823,9 @@ def cmd_closed_loop(args):
         )
     # the listenable product claim (`captum_saliency.py:136-143` shape):
     # manipulated input + what the mask keeps + what it removes
+    gallery_items = []
     if rel is not None:
+        eval_bands = res.get("eval_bands_hz")
         for i in range(len(rel)):
             write_wav(
                 os.path.join(args.out, f"eval_{i}_manipulated.wav"),
@@ -834,6 +837,32 @@ def cmd_closed_loop(args):
             write_wav(
                 os.path.join(args.out, f"eval_{i}_irrelevant.wav"), irr[i], sr
             )
+            if probs is None or i >= len(probs):
+                continue
+            band_txt = (
+                f" (artifact band {eval_bands[i][0]:.0f}-"
+                f"{eval_bands[i][1]:.0f} Hz)"
+                if eval_bands
+                else f" (artifact band {args.band_lo:.0f}-"
+                     f"{args.band_hi:.0f} Hz)"
+            )
+            gallery_items.append({
+                "source": f"held-out eval clip {i}{band_txt}",
+                "original_audio": f"eval_{i}_manipulated.wav",
+                "reconstructed_audio": f"eval_{i}_relevant.wav",
+                "spectrogram_img": f"manipulated_spec_{i}.png",
+                "mask_img": f"final_mask_{i}.png",
+                "pred_original": float(probs[i, 0]),
+                "pred_reconstructed_mask": float(probs[i, 1]),
+                "pred_reconstructed_1mask": float(probs[i, 2]),
+            })
+    if gallery_items:
+        # the same listening-study gallery `cli explain`/`cli serve` use
+        # (`serve/viewer.py`), so the closed loop's held-out explanations
+        # are browsable: `cli serve --artifacts <out>`
+        from xai_audio_deepfakes_tpu.serve.viewer import build_gallery
+
+        build_gallery(gallery_items, args.out, polarity=cfg.polarity.value)
     with open(os.path.join(args.out, "closed_loop.json"), "w") as f:
         json.dump(res, f, indent=1)
     wait_for_saves()

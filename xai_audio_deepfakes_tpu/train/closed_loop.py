@@ -138,6 +138,9 @@ def evaluate_explanations(
         "magnitude": np.concatenate(mags),
         "relevant_wavs": np.concatenate(rel_wavs) if rel_wavs else None,
         "irrelevant_wavs": np.concatenate(irr_wavs) if irr_wavs else None,
+        # per-clip P(class 1) triples (clean/relevant/irrelevant) — the
+        # gallery's three prediction numbers (`streamlit...py:276-314`)
+        "probs": np.concatenate([pc, pr, pi], axis=1),
     }
 
 
@@ -282,8 +285,10 @@ def run_closed_loop(
         band_width=band_width, f_max=f_max, decoder=decoder,
     )
 
-    arrays = ("masks", "magnitude", "relevant_wavs", "irrelevant_wavs")
+    arrays = ("masks", "magnitude", "relevant_wavs", "irrelevant_wavs",
+              "probs")
     return {
+        "final_probs": after["probs"],
         "band_hz": None if anyband else list(band),
         "anyband": anyband,
         "decoder": decoder,
