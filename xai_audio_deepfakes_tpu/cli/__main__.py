@@ -66,11 +66,16 @@ def _build_pipeline(args):
         params["logreg"] = logreg_params_from_any(args.logreg_joblib)
     if args.checkpoint:
         from xai_audio_deepfakes_tpu.train.train_addvisor import (
+            decoder_params_key,
             restore_decoder_for_inference,
         )
 
-        params["unet"] = restore_decoder_for_inference(
-            args.checkpoint, pipe, params
+        # eval/explain --decoder picks which decoder the checkpoint holds;
+        # subcommands without that flag restore the UNet (the reference
+        # trainer's decoder)
+        dec = getattr(args, "decoder", "unet")
+        params[decoder_params_key(dec)] = restore_decoder_for_inference(
+            args.checkpoint, pipe, params, dec
         )
     if getattr(args, "unet_pth", ""):
         import torch
@@ -396,7 +401,9 @@ def cmd_train(args):
             )
 
             tx_m, tx_w = make_optimizers(pipe.cfg)
-            template = init_train_state(pipe, params, tx_m, tx_w)
+            template = init_train_state(
+                pipe, params, tx_m, tx_w, args.train_decoder
+            )
             resume_state = restore_checkpoint(ckpt, template)
             logger({"resumed_from": ckpt, "epoch": parse_checkpoint_name(ckpt)[0]})
 
@@ -471,6 +478,7 @@ def cmd_train(args):
         artifact_fn=artifact_fn,
         checkpoint_fn=checkpoint_fn,
         initial_state=resume_state,
+        decoder=args.train_decoder,
     )
     from xai_audio_deepfakes_tpu.train.checkpoints import wait_for_saves
 
@@ -1045,6 +1053,14 @@ def main(argv=None):
     p.add_argument("--metadata", required=True)
     p.add_argument("--root", default="")
     p.add_argument("--epochs", type=int, default=10)
+    p.add_argument(
+        "--train-decoder", default="unet", choices=["unet", "features"],
+        dest="train_decoder",
+        help="which mask decoder to train: the current-generation UNet "
+             "(the reference trainer's decoder, train_addvisor.py:363) or "
+             "the legacy feature-input decoder (LMAC_metrics.py:133 "
+             "consumer; requires the frame-alignment contract)",
+    )
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out/ckpts")

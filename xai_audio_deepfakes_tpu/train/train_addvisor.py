@@ -443,24 +443,25 @@ def train_addvisor(
 
 
 def restore_decoder_for_inference(
-    path: str, pipe: ADDvisorPipeline, params: dict
+    path: str, pipe: ADDvisorPipeline, params: dict, decoder: str = "unet"
 ) -> dict:
-    """Extract the UNet decoder (+BN stats) from a `cli train` checkpoint.
+    """Extract the mask decoder (+BN stats) from a `cli train` checkpoint.
 
     Train checkpoints carry the FULL AddvisorTrainState (decoder + loss
     weights + both optimizer states, `train/checkpoints.py`); eval/explain/
     serve only need the decoder variables. Restores against the full-state
-    template first, falling back to a bare UNet-tree template for
-    checkpoints saved outside the trainer."""
+    template first, falling back to a bare decoder-tree template for
+    checkpoints saved outside the trainer. `decoder` selects which decoder
+    the checkpoint holds ("unet" | "features")."""
     from xai_audio_deepfakes_tpu.train.checkpoints import restore_checkpoint
 
     tx_m, tx_w = make_optimizers(pipe.cfg)
-    template = init_train_state(pipe, params, tx_m, tx_w)
+    template = init_train_state(pipe, params, tx_m, tx_w, decoder)
     try:
         state = restore_checkpoint(path, template)
     except Exception:
-        return restore_checkpoint(path, params["unet"])
-    unet = {"params": state.unet_params}
+        return restore_checkpoint(path, params[decoder_params_key(decoder)])
+    tree = {"params": state.unet_params}
     if state.unet_batch_stats:
-        unet["batch_stats"] = state.unet_batch_stats
-    return unet
+        tree["batch_stats"] = state.unet_batch_stats
+    return tree
