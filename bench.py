@@ -61,6 +61,10 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     # UNet int8 convs: opt-in (BENCH_UNET_QUANT=int8) — unlike the embedder
     # quant knob this perturbs the mask itself (bounds in tests/test_models.py).
     unet_quant = _env_choice("BENCH_UNET_QUANT", "none", ("none", "int8"))
+    # Pallas fused LN+GELU for the conv frontend (BENCH_FUSED_LN=0 to
+    # disable): one HBM read + one write per activation row instead of
+    # XLA's stats pass + normalize/GELU pass.
+    fused_ln = os.environ.get("BENCH_FUSED_LN", "0") == "1"
     # Pallas fused framing+DFT for the forward STFT (BENCH_STFT_PALLAS=1);
     # measured at parity with the chunk-stream matmul-DFT default.
     stft_pallas = os.environ.get("BENCH_STFT_PALLAS", "0") == "1"
@@ -69,7 +73,8 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     cfg = PipelineConfig(
         stft=STFTConfig(use_pallas=stft_pallas),
         embedder=EmbedderConfig(
-            dtype="bfloat16", quant=quant, gelu=gelu, fused_conv=fused_conv
+            dtype="bfloat16", quant=quant, gelu=gelu, fused_conv=fused_conv,
+            fused_ln_gelu=fused_ln,
         ),
         unet=UNetConfig(dtype="bfloat16", quant=unet_quant),
     )
@@ -117,6 +122,7 @@ def main(batch: int | None = None, iters: int = 10) -> None:
                 "quant": quant,
                 "gelu": gelu,
                 "fused_conv": fused_conv,
+                "fused_ln_gelu": fused_ln,
                 "unet_quant": unet_quant,
                 "stft": "pallas" if stft_pallas else "matmul",
                 "device": str(jax.devices()[0]),

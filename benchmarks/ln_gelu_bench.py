@@ -1,0 +1,87 @@
+"""Microbench: XLA LN+GELU (stats pass + normalize/GELU pass) vs the fused
+Pallas single-pass kernel (`ops/pallas_ln_gelu.py`) at the wav2vec2
+conv-frontend shapes.
+
+The round-2 trace attributes ~25 ms LN reduces + ~39 ms GELU of the 559 ms
+serving dispatch to these chains; the fused kernel reads each activation
+row once and writes once (theoretical ceiling ~1.5-2x on this op).
+
+Usage: python benchmarks/ln_gelu_bench.py [--batch 384] [--iters 30]
+Prints one JSON line per shape with ms + achieved GB/s for both paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from xai_audio_deepfakes_tpu.ops.pallas_ln_gelu import ln_gelu, ln_gelu_reference
+
+# conv-frontend output lengths down the stride pyramid (B = 3 x serving 128)
+FRONTEND_L = [15999, 7999, 3999, 1999, 999, 499, 249]
+
+
+def bench(fn, *args, iters):
+    out = jax.block_until_ready(fn(*args))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    # tunnel-safe barrier: device stream is in-order, a D2H transfer of the
+    # last output waits for all queued work
+    _ = jax.device_get(out.ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=384)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--gelu", default="tanh", choices=["tanh", "exact"])
+    ap.add_argument("--channels", type=int, default=512)
+    args = ap.parse_args()
+
+    c = args.channels
+    key = jax.random.PRNGKey(0)
+    g = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (c,), jnp.float32)
+    lb = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (c,), jnp.float32)
+
+    ref = jax.jit(
+        lambda x: ln_gelu_reference(x, g, lb, eps=1e-5, gelu=args.gelu,
+                                    dtype=jnp.bfloat16)
+    )
+    fused = jax.jit(
+        lambda x: ln_gelu(x, g, lb, 1e-5, args.gelu, jnp.bfloat16)
+    )
+
+    for l in FRONTEND_L:
+        x = jax.random.normal(key, (args.batch, l, c), jnp.bfloat16)
+        nbytes = x.size * 2  # one read or one write of the activation
+        t_ref, y_ref = bench(ref, x, iters=args.iters)
+        t_fused, y_fused = bench(fused, x, iters=args.iters)
+        maxdiff = float(
+            jnp.max(jnp.abs(y_ref.astype(jnp.float32) -
+                            y_fused.astype(jnp.float32)))
+        )
+        print(json.dumps({
+            "shape": [args.batch, l, c],
+            "xla_ms": round(t_ref, 3),
+            "pallas_ms": round(t_fused, 3),
+            "speedup": round(t_ref / t_fused, 3),
+            # achieved bandwidth assuming the ideal 1 read + 1 write
+            "xla_gbs_ideal": round(2 * nbytes / t_ref / 1e6, 1),
+            "pallas_gbs_ideal": round(2 * nbytes / t_fused / 1e6, 1),
+            "maxdiff": maxdiff,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -270,3 +270,59 @@ def test_use_pallas_flag_cpu_fallback(rng):
     re_j, im_j = stft(x, STFTConfig())
     np.testing.assert_array_equal(np.asarray(re_p), np.asarray(re_j))
     np.testing.assert_array_equal(np.asarray(im_p), np.asarray(im_j))
+
+
+# fused LN+GELU frontend epilogue (ops/pallas_ln_gelu.py)
+
+
+@pytest.mark.parametrize("l,kind", [(515, "exact"), (512, "tanh"), (77, "exact"), (37, "tanh")])
+def test_ln_gelu_pallas_matches_reference(rng, l, kind):
+    """Fused LN+GELU (interpret) == the _LNf32Stats+_gelu math, including
+    non-divisible edge tiles (the padded rows must not pollute valid rows)."""
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.ops.pallas_ln_gelu import (
+        _ln_gelu_pallas,
+        ln_gelu_reference,
+    )
+
+    g = jnp.asarray(1.0 + rng.standard_normal((128,)).astype(np.float32) * 0.1)
+    lb = jnp.asarray(rng.standard_normal((128,)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((2, l, 128)).astype(np.float32))
+    ref = ln_gelu_reference(x, g, lb, eps=1e-5, gelu=kind, dtype=jnp.float32)
+    out = _ln_gelu_pallas(
+        x, g, lb, eps=1e-5, gelu=kind, dtype=jnp.float32, interpret=True,
+        block_t=64,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ln_gelu_vjp_matches_autograd(rng):
+    """Recompute VJP == autograd through the reference formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.ops.pallas_ln_gelu import (
+        ln_gelu,
+        ln_gelu_reference,
+    )
+
+    g = 1.0 + rng.standard_normal((128,)).astype(np.float32) * 0.1
+    lb = rng.standard_normal((128,)).astype(np.float32) * 0.1
+    x = rng.standard_normal((1, 131, 128)).astype(np.float32)
+
+    def f_fused(x, g, lb):
+        return jnp.sum(ln_gelu(x, g, lb, 1e-5, "exact", jnp.float32, True) ** 2)
+
+    def f_ref(x, g, lb):
+        return jnp.sum(
+            ln_gelu_reference(x, g, lb, eps=1e-5, gelu="exact",
+                              dtype=jnp.float32) ** 2
+        )
+
+    args = tuple(map(jnp.asarray, (x, g, lb)))
+    gf = jax.grad(f_fused, argnums=(0, 1, 2))(*args)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

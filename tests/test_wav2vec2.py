@@ -303,6 +303,14 @@ def test_full_width_hidden_states_parity(rng):
     )
     np.testing.assert_allclose(fused, ref, atol=5e-4)
 
+    fused_ln_cfg = dataclasses.replace(
+        full2, fused_interpret=True, fused_ln_gelu=True
+    )
+    fused_ln = np.asarray(
+        Wav2Vec2Encoder(fused_ln_cfg).apply(params, jnp.asarray(wav))
+    )
+    np.testing.assert_allclose(fused_ln, ref, atol=5e-4)
+
 
 def test_int8_posconv_batch_independent(rng):
     """A clip's int8 pos-conv output must not depend on its batch

@@ -46,6 +46,7 @@ def _build_pipeline(args):
             remat_policy=getattr(args, "remat_policy", "full"),
             quant=getattr(args, "quant", "none"),
             gelu=getattr(args, "gelu", "exact"),
+            fused_ln_gelu=getattr(args, "fused_ln_gelu", False),
         ),
         unet=UNetConfig(quant=getattr(args, "unet_quant", "none")),
         train=TrainConfig(
@@ -150,6 +151,12 @@ def _common(p: argparse.ArgumentParser):
         help="TPU: forward STFT via the fused Pallas framing+DFT kernel "
              "(VMEM-resident frames) instead of the chunk-stream matmul-DFT; "
              "measured at parity (docs/performance.md). CPU: no-op fallback.",
+    )
+    p.add_argument(
+        "--fused-ln-gelu", action="store_true",
+        help="TPU: conv-frontend LayerNorm+GELU as one fused Pallas pass "
+             "(one HBM read + one write over the graph's largest "
+             "activations). CPU: no-op fallback to the identical XLA math.",
     )
     p.add_argument("--embedder-dir", default="", help="local HF checkpoint dir")
     p.add_argument(

@@ -192,6 +192,13 @@ class EmbedderConfig:
     # the serving graph with it over-allocates HBM at the batch-128 sweet
     # spot (FAILED_PRECONDITION) — opt in at smaller batches. CPU falls
     # back to the identical XLA formulation. See ops/pallas_conv.py.
+    fused_ln_gelu: bool = False  # Pallas fused LayerNorm+GELU epilogue for
+    # the conv-frontend layers on TPU (one HBM read + one write per
+    # activation row instead of XLA's stats pass + normalize/GELU pass over
+    # the largest activations in the graph). Unlike fused_conv it needs no
+    # halo blocks or strided selects — plain blocked reduce+elementwise.
+    # CPU falls back to the identical XLA formulation; differentiable via
+    # recompute VJP. See ops/pallas_ln_gelu.py.
     fused_attention: bool = True  # Pallas fused attention on TPU (scores/
     # softmax never touch HBM; differentiable via recompute VJP). On CPU the
     # op falls back to the identical einsum formulation, so tests and the

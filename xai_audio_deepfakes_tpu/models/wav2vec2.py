@@ -126,6 +126,7 @@ class ConvLayerNormBlock(nn.Module):
     dtype: Any
     gelu: str = "exact"
     fused: bool = False
+    fused_ln: bool = False
     fused_interpret: bool = False
 
     @nn.compact
@@ -167,6 +168,21 @@ class ConvLayerNormBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        from xai_audio_deepfakes_tpu.ops.pallas_ln_gelu import (
+            ln_gelu,
+            supports_ln_gelu,
+        )
+
+        if (
+            self.fused_ln
+            and supports_ln_gelu(self.features)
+            and (jax.default_backend() == "tpu" or self.fused_interpret)
+        ):
+            scale, lbias = _LNParams(self.features, name="layer_norm")()
+            return ln_gelu(
+                x, scale, lbias, self.eps, self.gelu, self.dtype,
+                self.fused_interpret,
+            )
         x = _LNf32Stats(self.eps, self.dtype, name="layer_norm")(x)
         return _gelu(x, self.gelu)
 
@@ -189,6 +205,7 @@ class FeatureEncoder(nn.Module):
                 dtype=_dtype(self.cfg),
                 gelu=self.cfg.gelu,
                 fused=self.cfg.fused_conv,
+                fused_ln=self.cfg.fused_ln_gelu,
                 fused_interpret=self.cfg.fused_interpret,
                 name=f"conv_{i}",
             )(x)
