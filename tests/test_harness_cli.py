@@ -130,6 +130,27 @@ def test_gallery_builder(tmp_path):
     assert os.path.exists(tmp_path / "results.json")
 
 
+def test_fallback_gallery_builder(tmp_path):
+    """A directory of loose closed-loop artifacts (no index.html, no
+    recorded predictions) must still serve: triplet wavs group into one
+    item with their index-matched PNGs; unmatched wavs get bare players;
+    no prediction numbers are invented."""
+    from xai_audio_deepfakes_tpu.serve.viewer import build_fallback_gallery
+
+    for name in (
+        "eval_0_manipulated.wav", "eval_0_relevant.wav",
+        "eval_0_irrelevant.wav", "final_mask_0.png",
+        "manipulated_spec_0.png", "loose.wav",
+    ):
+        (tmp_path / name).write_bytes(b"x")
+    index = build_fallback_gallery(str(tmp_path))
+    content = open(index).read()
+    assert content.count("<section") == 2
+    assert "eval_0_relevant.wav" in content and "final_mask_0.png" in content
+    assert "loose.wav" in content
+    assert "Predictions" not in content
+
+
 def test_cli_eval_sharded_mesh(monkeypatch, capsys, tmp_path, rng):
     """`cli eval --data-parallel 4 --model-parallel 2` builds the dp x tp
     mesh from the visible (virtual CPU) devices and matches the

@@ -34,18 +34,30 @@ def _item_html(item: dict, polarity_note: str = "") -> str:
         )
         if k in item
     )
+    audio = "".join(
+        f'<div><b>{cap}</b><br>'
+        f'<audio controls src="{html.escape(item[k])}"></audio></div>'
+        for k, cap in (
+            ("original_audio", "Original audio"),
+            ("reconstructed_audio", "Reconstructed audio"),
+            ("irrelevant_audio", "Removed (1 - mask) audio"),
+        )
+        if k in item
+    )
+    preds = (
+        f"""<p><b>Predictions</b> (P(class 1); {polarity_note}) —
+     original: {item["pred_original"]:.4f},
+     reconstructed: {item["pred_reconstructed_mask"]:.4f},
+     1-mask: {item["pred_reconstructed_1mask"]:.4f}</p>"""
+        if "pred_original" in item
+        else ""
+    )
     return f"""
 <section class="item">
   <h3>{html.escape(item["source"])}</h3>
-  <div class="audio-row">
-    <div><b>Original audio</b><br><audio controls src="{html.escape(item["original_audio"])}"></audio></div>
-    <div><b>Reconstructed audio</b><br><audio controls src="{html.escape(item["reconstructed_audio"])}"></audio></div>
-  </div>
+  <div class="audio-row">{audio}</div>
   <div class="img-row">{imgs}</div>
-  <p><b>Predictions</b> (P(class 1); {polarity_note}) —
-     original: {item["pred_original"]:.4f},
-     reconstructed: {item["pred_reconstructed_mask"]:.4f},
-     1-mask: {item["pred_reconstructed_1mask"]:.4f}</p>
+  {preds}
 </section>
 """
 
@@ -129,10 +141,61 @@ def build_gallery(
     return index_path
 
 
+def build_fallback_gallery(directory: str) -> str:
+    """Render an index over a directory of loose artifacts that has no
+    gallery (e.g. closed-loop outputs written before the gallery feature, or
+    hand-assembled dirs): every `<stem>_manipulated.wav` becomes an item with
+    its `_relevant`/`_irrelevant` siblings and any index-matched mask/
+    spectrogram PNGs (`final_mask_{i}.png`, `manipulated_spec_{i}.png` — the
+    closed-loop naming); remaining wavs get bare audio players. No
+    predictions are shown — this path never invents numbers the artifacts
+    don't record. Returns the index path."""
+    files = set(os.listdir(directory))
+    wavs = sorted(f for f in files if f.endswith(".wav"))
+    items, used = [], set()
+    for f in wavs:
+        if not f.endswith("_manipulated.wav"):
+            continue
+        stem = f[: -len("_manipulated.wav")]
+        item = {"source": stem, "original_audio": f}
+        used.add(f)
+        for suffix, key in (
+            ("_relevant.wav", "reconstructed_audio"),
+            ("_irrelevant.wav", "irrelevant_audio"),
+        ):
+            if stem + suffix in files:
+                item[key] = stem + suffix
+                used.add(stem + suffix)
+        idx = stem.rsplit("_", 1)[-1]
+        for name, key in (
+            (f"manipulated_spec_{idx}.png", "spectrogram_img"),
+            (f"final_mask_{idx}.png", "mask_img"),
+        ):
+            if name in files:
+                item[key] = name
+        items.append(item)
+    items.extend(
+        {"source": f, "original_audio": f} for f in wavs if f not in used
+    )
+    index_path = os.path.join(directory, "index.html")
+    with open(index_path, "w") as f:
+        f.write(
+            _PAGE.format(
+                nav="",
+                items="".join(_item_html(it) for it in items),
+                polarity="(not recorded in these artifacts)",
+            )
+        )
+    return index_path
+
+
 def serve_gallery(directory: str, port: int = 8000) -> None:
     import functools
     import http.server
 
+    if not os.path.exists(os.path.join(directory, "index.html")):
+        print(f"no index.html in {directory} — building fallback gallery")
+        build_fallback_gallery(directory)
     handler = functools.partial(
         http.server.SimpleHTTPRequestHandler, directory=directory
     )
