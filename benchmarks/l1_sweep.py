@@ -25,6 +25,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from xai_audio_deepfakes_tpu.utils.cache import enable_persistent_compile_cache  # noqa: E402
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -64,6 +66,7 @@ def main() -> None:
             ),
         )
         band_kw = dict(band_width=1000.0, f_max=8000.0)
+        enable_persistent_compile_cache()
     base = base.replace(train=TrainConfig(model_lr=args.model_lr))
 
     rows = []

@@ -24,6 +24,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from xai_audio_deepfakes_tpu.utils.cache import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 
 def main() -> None:
     try:

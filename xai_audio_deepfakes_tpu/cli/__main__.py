@@ -1282,6 +1282,15 @@ def main(argv=None):
             )
     if args.platform:
         _force_platform(args.platform)
+    # every subcommand compiles large programs; reuse them across runs
+    # (5-25 min fresh compiles through the tunneled TPU relay vs seconds
+    # cached). Must come after the platform pin — the helper reads the
+    # backend and stays off on CPU (see utils/cache.py).
+    from xai_audio_deepfakes_tpu.utils.cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     return args.fn(args)
 
 
