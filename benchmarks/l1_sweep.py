@@ -71,13 +71,15 @@ def main() -> None:
 
     rows = []
     for scale in [float(s) for s in args.scales.split(",")]:
-        cfg = base.replace(
-            loss=dataclasses.replace(base.loss, l1_scale=scale)
-        )
+        # l1_scale rides as a TRACED step input (train_addvisor
+        # frozen["l1_scale"]), so every sweep point after the first reuses
+        # the same compiled train/eval programs — a config change here
+        # would bake a new constant and recompile per point (measured:
+        # ~8 min/point through the remote-compile relay).
         res = run_closed_loop(
-            cfg, seed=args.seed, n_train=args.n_train, n_eval=args.n_eval,
+            base, seed=args.seed, n_train=args.n_train, n_eval=args.n_eval,
             epochs=args.epochs, batch_size=args.batch_size, noise_rms=1.0,
-            anyband=True, **band_kw,
+            anyband=True, l1_scale=scale, **band_kw,
         )
         loc = res["after"]["localization"]
         row = {

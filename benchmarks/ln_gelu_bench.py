@@ -26,6 +26,7 @@ enable_persistent_compile_cache()
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from xai_audio_deepfakes_tpu.ops.pallas_ln_gelu import ln_gelu, ln_gelu_reference
 
@@ -33,16 +34,23 @@ from xai_audio_deepfakes_tpu.ops.pallas_ln_gelu import ln_gelu, ln_gelu_referenc
 FRONTEND_L = [15999, 7999, 3999, 1999, 999, 499, 249]
 
 
-def bench(fn, *args, iters):
-    out = jax.block_until_ready(fn(*args))  # compile
+def bench(fn, x, iters):
+    # loop INSIDE jit: a Python-level timing loop queues every iteration's
+    # multi-GB output ([384, 16k, 512] bf16 = 6.3 GB) and RESOURCE_EXHAUSTs
+    # the 16 GB chip. Chaining y = fn(y) in a fori_loop keeps one live
+    # buffer and serializes the iterations.
+    # the chain returns a TINY slice: the full output would be a 6.3 GB
+    # D2H through the ~25 MB/s tunnel, and an out-of-jit `out.ravel()[0]`
+    # is itself a new remotely-compiled program — both documented hazards
+    chain = jax.jit(
+        lambda v: jax.lax.fori_loop(0, iters, lambda i, v: fn(v), v)[:1, :1, :1]
+    )
+    # tunnel-safe barrier: device stream is in-order, a D2H transfer of an
+    # existing (tiny) output waits for all queued work
+    _ = np.asarray(chain(x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    # tunnel-safe barrier: device stream is in-order, a D2H transfer of the
-    # last output waits for all queued work
-    _ = jax.device_get(out.ravel()[0])
-    return (time.perf_counter() - t0) / iters * 1e3, out
+    _ = np.asarray(chain(x))
+    return (time.perf_counter() - t0) / iters * 1e3, fn(x)
 
 
 def main():
@@ -69,12 +77,16 @@ def main():
     for l in FRONTEND_L:
         x = jax.random.normal(key, (args.batch, l, c), jnp.bfloat16)
         nbytes = x.size * 2  # one read or one write of the activation
-        t_ref, y_ref = bench(ref, x, iters=args.iters)
-        t_fused, y_fused = bench(fused, x, iters=args.iters)
-        maxdiff = float(
-            jnp.max(jnp.abs(y_ref.astype(jnp.float32) -
-                            y_fused.astype(jnp.float32)))
-        )
+        t_ref, y_ref = bench(ref, x, args.iters)
+        t_fused, y_fused = bench(fused, x, args.iters)
+        # jitted so the f32 diff (12.6 GB unfused at the largest shape)
+        # stays a streaming reduction
+        maxdiff = float(jax.jit(
+            lambda a, b: jnp.max(
+                jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+            )
+        )(y_ref, y_fused))
+        del x, y_ref, y_fused
         print(json.dumps({
             "shape": [args.batch, l, c],
             "xla_ms": round(t_ref, 3),

@@ -100,6 +100,21 @@ def test_lmac_loss_formula(rng):
     np.testing.assert_allclose(float(losses_s[0]), float(losses[0]), rtol=1e-6)
     np.testing.assert_allclose(float(losses_s[1]), float(losses[1]), rtol=1e-6)
 
+    # the TRACED l1_scale argument == the baked config knob, and sweeping
+    # it reuses ONE compiled program (the whole point: an l1 sweep must not
+    # pay a multi-minute remote recompile per point)
+    jit_loss = jax.jit(
+        lambda s: lmac_loss(
+            w_raw, mask, mag, phase, class_pred, classify_wav, istft_fn,
+            LossConfig(), l1_scale=s,
+        )
+    )
+    total_t, losses_t, _ = jit_loss(jnp.float32(4.0))
+    np.testing.assert_allclose(float(losses_t[2]), float(losses_s[2]), rtol=1e-6)
+    np.testing.assert_allclose(float(total_t), float(total_s), rtol=1e-6)
+    _ = jit_loss(jnp.float32(0.5))
+    assert jit_loss._cache_size() == 1
+
 
 def test_metrics_formulas():
     p = jnp.asarray([[0.9], [0.2], [0.6], [0.4]])

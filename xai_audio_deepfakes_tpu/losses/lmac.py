@@ -75,6 +75,7 @@ def lmac_loss(
     classify_wav: Callable[[jnp.ndarray], jnp.ndarray],
     istft_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     cfg: LossConfig = LossConfig(),
+    l1_scale: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (total, losses=[l_in, l_out, l1], w). Mirrors
     `LMACLoss.loss_function` (`loss_function.py:32-77`).
@@ -102,8 +103,14 @@ def lmac_loss(
     l_out = bce_with_logits(irr_logits, 1.0 - class_pred)
     # cfg.l1_scale=1.0 is the reference formula (`loss_function.py:60`); the
     # knob exposes the sparsity/fidelity frontier the learnable-w renorm
-    # otherwise pins (see LossConfig.l1_scale)
-    l1 = cfg.l1_scale * jnp.mean(jnp.abs(mask))
+    # otherwise pins (see LossConfig.l1_scale). The optional `l1_scale`
+    # argument is the TRACED form of the same knob: a sweep that passes it
+    # as an array input shares ONE compiled train step across all its
+    # points instead of baking a new constant (= a full multi-minute
+    # remote recompile) per point.
+    l1 = (
+        cfg.l1_scale if l1_scale is None else l1_scale
+    ) * jnp.mean(jnp.abs(mask))
 
     losses = jnp.stack([l_in, l_out, l1])
     w = softplus_weights(w_raw)

@@ -162,6 +162,7 @@ def run_closed_loop(
     band_width: float = 1000.0,
     f_max: float = 8000.0,
     decoder: str = "unet",
+    l1_scale: float | None = None,
 ) -> dict:
     """The full loop. Returns a dict with detector metrics, before/after
     explanation metrics + localization + keep/flip rates, the training log,
@@ -262,6 +263,8 @@ def run_closed_loop(
     state = train_addvisor(
         pipe, params, batches, num_epochs=epochs, mesh=mesh, log_fn=_log,
         artifact_fn=artifact_fn, checkpoint_fn=checkpoint_fn, decoder=decoder,
+        # traced (not baked) so an l1 sweep shares one compiled train step
+        l1_scale=l1_scale,
     )
     from xai_audio_deepfakes_tpu.train.train_addvisor import decoder_params_key
 

@@ -190,6 +190,11 @@ def make_train_step(
                 w_raw, mask, mag, phase, class_pred,
                 lambda x: classify_wav(frozen, x),
                 pipe.istft, cfg.loss,
+                # traced sweep knob: present only when the caller put it in
+                # `frozen` (e.g. benchmarks/l1_sweep.py) — absent, the
+                # pytree structure and thus the compile cache key are
+                # unchanged from the default path
+                l1_scale=frozen.get("l1_scale"),
             )
             return total, (losses, w, new_stats, mask)
 
@@ -238,12 +243,15 @@ def train_addvisor(
     checkpoint_fn: Callable[[int, AddvisorTrainState, float], None] | None = None,
     initial_state: AddvisorTrainState | None = None,
     decoder: str = "unet",
+    l1_scale: float | None = None,
 ) -> AddvisorTrainState:
     """Epoch loop (`train_addvisor.py:345-393`). `batches()` yields wav
     arrays [B, 80000] per epoch. Artifacts/checkpoints/logging are injected
     so the loop stays host-side-effect free otherwise. Pass `initial_state`
     (e.g. a restored checkpoint) to resume. `decoder` selects the trainable
-    mask decoder ("unet" | "features", see `make_train_step`)."""
+    mask decoder ("unet" | "features", see `make_train_step`). `l1_scale`
+    overrides `cfg.loss.l1_scale` as a TRACED input: sweeping it reuses one
+    compiled step (a config change would recompile per value)."""
     cfg = pipe.cfg
     tx_model, tx_w = make_optimizers(cfg)
     state = (
@@ -255,6 +263,8 @@ def train_addvisor(
     # arrays (shared with state.unet_params at init) survive
     state = jax.tree.map(jnp.copy, state)
     frozen = {"encoder": params["encoder"], "logreg": params["logreg"]}
+    if l1_scale is not None:
+        frozen["l1_scale"] = jnp.asarray(l1_scale, jnp.float32)
 
     if mesh is not None:
         import dataclasses
@@ -311,6 +321,11 @@ def train_addvisor(
         data = NamedSharding(mesh, P(cfg.mesh.data_axis))
         state = jax.device_put(state, rep)
         frozen = {
+            **{
+                k: jax.device_put(v, rep)
+                for k, v in frozen.items()
+                if k not in ("encoder", "logreg")  # e.g. traced l1_scale
+            },
             "encoder": shard_params(frozen["encoder"], mesh, enc_specs),
             "logreg": shard_params(frozen["logreg"], mesh),
         }
