@@ -583,3 +583,19 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
     from xai_audio_deepfakes_tpu.train.checkpoints import latest_checkpoint
 
     assert latest_checkpoint(str(out / "ckpts")) is not None
+
+
+def test_persistent_compile_cache_inert_on_cpu():
+    """utils/cache.py must be a no-op on CPU: XLA:CPU cache entries are
+    AOT-compiled against the build host's CPU features and loading them on
+    a different host risks SIGILL — a shared repo-dir cache must never
+    carry that. (On TPU it sets jax_compilation_cache_dir; not testable
+    here.)"""
+    from xai_audio_deepfakes_tpu.utils.cache import (
+        enable_persistent_compile_cache,
+    )
+
+    before = jax.config.jax_compilation_cache_dir
+    assert jax.default_backend() == "cpu"
+    enable_persistent_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == before
