@@ -798,6 +798,9 @@ def cmd_closed_loop(args):
         batch_size=args.batch_size, noise_rms=args.noise_rms, mesh=mesh,
         log_fn=logger, keep_wavs=n_wavs, anyband=args.anyband,
         band_width=args.band_width, decoder=args.decoder,
+        # traced, so it shares one compiled train step with any other
+        # scale (incl. the benchmarks/l1_sweep.py points)
+        l1_scale=args.l1_scale,
     )
     eval_bands = res.get("eval_bands_hz")
     masks, mags = res.pop("final_masks"), res.pop("final_magnitude")
@@ -1197,6 +1200,14 @@ def main(argv=None):
         "--model-lr", type=float, default=3e-4,
         help="decoder Adam lr (the loop's short schedule wants a hotter lr "
              "than the reference's 3e-5 1000-epoch default)",
+    )
+    p.add_argument(
+        "--l1-scale", type=float, default=None,
+        help="multiplier on the L1 sparsity term (default: the exact "
+             "reference formula, = 1.0). Traced, not baked: different "
+             "values share one compiled train step — see "
+             "benchmarks/l1_sweep.py for the measured sparsity/fidelity "
+             "frontier",
     )
     p.add_argument("--artifact-limit", type=int, default=8)
     _mesh_flags(p)
