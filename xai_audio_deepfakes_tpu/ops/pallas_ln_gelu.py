@@ -25,6 +25,12 @@ and attribution through the frontend need no hand-written transpose kernels.
 Reference behavior being reproduced: HF Wav2Vec2LayerNormConvLayer's
 LayerNorm+GELU epilogue, consumed via `classifier_embedder.py:13-18`.
 Guide: /opt/skills/guides/pallas_guide.md.
+
+Status (measured, docs/performance.md "Fused LN+GELU epilogue"): wins
+1.1-1.2x standalone at every frontend shape but LOSES ~10% end-to-end —
+in the real graph XLA fuses the LN/GELU chain with its conv producer/
+consumer and the custom call is a fusion+layout barrier. Default OFF
+(`EmbedderConfig.fused_ln_gelu`); kept selectable and parity-tested.
 """
 
 from __future__ import annotations
@@ -108,6 +114,13 @@ def _ln_gelu_pallas(x, scale, bias, *, eps, gelu, dtype, interpret,
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+        # in-place: each grid step reads exactly the block it writes, so the
+        # output can reuse the input buffer — without this the custom call
+        # pins input AND output (2 x 6.3 GB at the serving frontend shape)
+        # and XLA adds a layout copy on top. When the input is still live
+        # (e.g. saved as a VJP residual) XLA inserts the copy itself, so
+        # correctness never depends on the alias.
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(x.astype(dtype), g, lb)
 
