@@ -554,7 +554,7 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
          "900", "--epochs", "3", "--n-train", "8", "--n-eval", "4",
          "--model-lr", "1e-3", "--artifact-limit", "1",
          "--anyband", "--band-width", "500", "--decoder", "features",
-         "--loss-masking", "log1p"]
+         "--loss-masking", "log1p", "--l1-scale", "4"]
     )
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["band_hz"] == [400.0, 900.0]
@@ -565,6 +565,7 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
     # choice, and the masking convention (which feeds BOTH loss and eval)
     assert seen["anyband"] is True and seen["band_width"] == 500.0
     assert seen["decoder"] == "features"
+    assert seen["l1_scale"] == 4.0  # the traced frontier knob
     from xai_audio_deepfakes_tpu.config import MaskingConvention
 
     assert seen["cfg"].loss.masking is MaskingConvention.LOG1P
