@@ -34,23 +34,29 @@ from xai_audio_deepfakes_tpu.ops.pallas_ln_gelu import ln_gelu, ln_gelu_referenc
 FRONTEND_L = [15999, 7999, 3999, 1999, 999, 499, 249]
 
 
-def bench(fn, x, iters):
-    # loop INSIDE jit: a Python-level timing loop queues every iteration's
-    # multi-GB output ([384, 16k, 512] bf16 = 6.3 GB) and RESOURCE_EXHAUSTs
-    # the 16 GB chip. Chaining y = fn(y) in a fori_loop keeps one live
-    # buffer and serializes the iterations.
-    # the chain returns a TINY slice: the full output would be a 6.3 GB
-    # D2H through the ~25 MB/s tunnel, and an out-of-jit `out.ravel()[0]`
-    # is itself a new remotely-compiled program — both documented hazards
+def bench(fn, shape, iters):
+    # Three documented TPU-relay hazards shape this harness: (1) a Python
+    # timing loop queues every iteration's 6.3 GB output -> OOM, so the
+    # loop lives INSIDE jit (chained y = fn(y)); (2) the input is generated
+    # IN-GRAPH so it is a temp the Pallas kernel's in-place alias can
+    # actually consume (an argument buffer must be preserved -> extra
+    # 6.3 GB copy -> OOM at the largest shape); (3) the chain returns a
+    # TINY slice -- the full output would be a multi-GB D2H through the
+    # ~25 MB/s tunnel, and an out-of-jit `out.ravel()[0]` is itself a new
+    # remotely-compiled program.
     chain = jax.jit(
-        lambda v: jax.lax.fori_loop(0, iters, lambda i, v: fn(v), v)[:1, :1, :1]
+        lambda key: jax.lax.fori_loop(
+            0, iters, lambda i, v: fn(v),
+            jax.random.normal(key, shape, jnp.bfloat16),
+        )[:1, :1, :1]
     )
+    key = jax.random.PRNGKey(0)
     # tunnel-safe barrier: device stream is in-order, a D2H transfer of an
     # existing (tiny) output waits for all queued work
-    _ = np.asarray(chain(x))  # compile + warm
+    _ = np.asarray(chain(key))  # compile + warm
     t0 = time.perf_counter()
-    _ = np.asarray(chain(x))
-    return (time.perf_counter() - t0) / iters * 1e3, fn(x)
+    _ = np.asarray(chain(key))
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
 def main():
@@ -75,20 +81,26 @@ def main():
     )
 
     for l in FRONTEND_L:
-        x = jax.random.normal(key, (args.batch, l, c), jnp.bfloat16)
-        nbytes = x.size * 2  # one read or one write of the activation
-        t_ref, y_ref = bench(ref, x, args.iters)
-        t_fused, y_fused = bench(fused, x, args.iters)
-        # jitted so the f32 diff (12.6 GB unfused at the largest shape)
-        # stays a streaming reduction
-        maxdiff = float(jax.jit(
-            lambda a, b: jnp.max(
-                jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
-            )
-        )(y_ref, y_fused))
-        del x, y_ref, y_fused
+        shape = (args.batch, l, c)
+        nbytes = args.batch * l * c * 2  # one read or write of the activation
+        t_ref = bench(ref, shape, args.iters)
+        t_fused = bench(fused, shape, args.iters)
+        # parity check only where three full buffers fit comfortably (the
+        # formulation is shape-independent; interpret-mode tests cover the
+        # edge tiles) — streamed in ONE jit so the f32 diff never
+        # materializes
+        maxdiff = None
+        if nbytes < 2 << 30:
+            maxdiff = float(jax.jit(
+                lambda k: jnp.max(jnp.abs(
+                    ref(jax.random.normal(k, shape, jnp.bfloat16))
+                    .astype(jnp.float32)
+                    - fused(jax.random.normal(k, shape, jnp.bfloat16))
+                    .astype(jnp.float32)
+                ))
+            )(key))
         print(json.dumps({
-            "shape": [args.batch, l, c],
+            "shape": list(shape),
             "xla_ms": round(t_ref, 3),
             "pallas_ms": round(t_fused, 3),
             "speedup": round(t_ref / t_fused, 3),
