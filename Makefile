@@ -17,7 +17,8 @@
 # `-m slow` tests (full-size model on CPU) stay opt-in: pytest -m slow.
 
 FAST_MODULES = tests/test_stft.py tests/test_ops.py tests/test_data.py \
-  tests/test_loss_metrics.py tests/test_closed_loop.py tests/test_pipeline.py
+  tests/test_loss_metrics.py tests/test_closed_loop.py tests/test_pipeline.py \
+  tests/test_pallas.py
 
 .PHONY: test-fast test-full test-full-sharded
 
