@@ -2,15 +2,22 @@
 
 Round-3 verdict: the learned mask kept substantial out-of-band mass
 (out_band_mean 0.232 at the default penalty) — the "relevant" wav still
-carried most non-evidence content. This sweeps `LossConfig.l1_scale`
+carried most non-evidence content. This sweeps the L1 multiplier
 (1.0 = exact reference formula, `loss_function.py:60`) through the anyband
-closed loop IN ONE PROCESS: w_raw is a traced input and l1_scale only
-rescales one constant, so every sweep point reuses the same compiled
-train/eval programs after the first.
+closed loop, passing it as the TRACED `l1_scale` train-step input
+(`train/train_addvisor.py`) so every point shares one compiled step
+instead of baking a new constant (= a full multi-minute remote recompile)
+per point.
+
+Recorded result (docs/performance.md "Sparsity/fidelity frontier"): at
+the headline budget, scale 4.0 strictly dominates — own-band IoU
+0.61 -> 0.80, out-of-band mask mass 0.171 -> 0.069, keep/flip/FF
+unchanged. Budget matters: at 1/3 the steps NO scale leaves the
+dense-mask regime.
 
 Usage:
-  python benchmarks/l1_sweep.py [--scales 0.5,1,2,4] [--epochs 80]
-         [--n-train 64] [--n-eval 32] [--out docs/closed_loop_anyband]
+  python benchmarks/l1_sweep.py [--scales 0.5,1,2,4] [--epochs 120]
+         [--n-train 128] [--n-eval 64] [--out docs/closed_loop_anyband]
 
 Prints one JSON line per point and writes l1_sweep.json to --out.
 """
@@ -18,7 +25,6 @@ Prints one JSON line per point and writes l1_sweep.json to --out.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
