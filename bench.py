@@ -26,12 +26,13 @@ import numpy as np
 
 def main(batch: int | None = None, iters: int = 10) -> None:
     # persistent compile cache: repeated driver runs (and recoveries from the
-    # flaky remote-compile relay) reuse the compiled program
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # flaky remote-compile relay) reuse the compiled program. TPU-only by
+    # design (utils/cache.py) — XLA:CPU AOT entries are host-CPU-specific.
+    from xai_audio_deepfakes_tpu.utils.cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     from xai_audio_deepfakes_tpu.config import EmbedderConfig, PipelineConfig
     from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
@@ -61,9 +62,9 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     # UNet int8 convs: opt-in (BENCH_UNET_QUANT=int8) — unlike the embedder
     # quant knob this perturbs the mask itself (bounds in tests/test_models.py).
     unet_quant = _env_choice("BENCH_UNET_QUANT", "none", ("none", "int8"))
-    # Pallas fused LN+GELU for the conv frontend (BENCH_FUSED_LN=0 to
-    # disable): one HBM read + one write per activation row instead of
-    # XLA's stats pass + normalize/GELU pass.
+    # Pallas fused LN+GELU for the conv frontend: opt in with
+    # BENCH_FUSED_LN=1. Default OFF — measured -10% end-to-end despite
+    # winning standalone (docs/performance.md "Fused LN+GELU epilogue").
     fused_ln = os.environ.get("BENCH_FUSED_LN", "0") == "1"
     # Pallas fused framing+DFT for the forward STFT (BENCH_STFT_PALLAS=1);
     # measured at parity with the chunk-stream matmul-DFT default.

@@ -31,11 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from xai_audio_deepfakes_tpu.utils.cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     import dataclasses
 

@@ -37,9 +37,9 @@ from xai_audio_deepfakes_tpu.utils.cache import enable_persistent_compile_cache 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="0.5,1,2,4")
-    ap.add_argument("--epochs", type=int, default=80)
-    ap.add_argument("--n-train", type=int, default=64)
-    ap.add_argument("--n-eval", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--n-train", type=int, default=128)
+    ap.add_argument("--n-eval", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--model-lr", type=float, default=3e-4)
@@ -50,7 +50,6 @@ def main() -> None:
 
     from xai_audio_deepfakes_tpu.config import (
         EmbedderConfig,
-        LossConfig,
         PipelineConfig,
         TrainConfig,
     )

@@ -33,11 +33,6 @@ enable_persistent_compile_cache()
 
 
 def main() -> None:
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     from xai_audio_deepfakes_tpu.config import (
         EmbedderConfig,

@@ -150,6 +150,19 @@ def test_fallback_gallery_builder(tmp_path):
     assert "loose.wav" in content
     assert "Predictions" not in content
 
+    # ambiguous trailing index (two stem families both ending _0): showing
+    # the wrong run's mask would mislead a listening study — show none
+    (tmp_path / "other_0_manipulated.wav").write_bytes(b"x")
+    content = open(build_fallback_gallery(str(tmp_path))).read()
+    assert content.count("<section") == 3
+    assert "final_mask_0.png" not in content
+
+    # the auto-built index is marked, so serve_gallery rebuilds it (new
+    # artifacts appear) while a pipeline-built gallery is never touched
+    from xai_audio_deepfakes_tpu.serve.viewer import _FALLBACK_MARK
+
+    assert content.startswith(_FALLBACK_MARK.strip())
+
 
 def test_cli_eval_sharded_mesh(monkeypatch, capsys, tmp_path, rng):
     """`cli eval --data-parallel 4 --model-parallel 2` builds the dp x tp

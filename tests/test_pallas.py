@@ -326,3 +326,29 @@ def test_ln_gelu_vjp_matches_autograd(rng):
     gr = jax.grad(f_ref, argnums=(0, 1, 2))(*args)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ln_gelu_mixed_dtype_stats_match_reference(rng):
+    """f32 input with bf16 output: the kernel's LN statistics must see the
+    UNCONVERTED f32 input (like the reference and the recompute-VJP
+    backward), not a pre-rounded bf16 copy; the in-place alias is dropped
+    for this dtype mix."""
+    import jax.numpy as jnp
+
+    from xai_audio_deepfakes_tpu.ops.pallas_ln_gelu import (
+        _ln_gelu_pallas,
+        ln_gelu_reference,
+    )
+
+    g = jnp.asarray(1.0 + rng.standard_normal((128,)).astype(np.float32) * 0.1)
+    lb = jnp.asarray(rng.standard_normal((128,)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((2, 77, 128)).astype(np.float32))
+    ref = ln_gelu_reference(x, g, lb, eps=1e-5, gelu="tanh", dtype=jnp.bfloat16)
+    out = _ln_gelu_pallas(
+        x, g, lb, eps=1e-5, gelu="tanh", dtype=jnp.bfloat16, interpret=True,
+        block_t=64,
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.03
+    )

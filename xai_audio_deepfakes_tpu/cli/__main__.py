@@ -784,6 +784,7 @@ def cmd_closed_loop(args):
         embedder=EmbedderConfig(
             dtype=args.dtype, scan_layers=args.scan_layers, remat=args.remat,
             remat_policy=args.remat_policy, gelu=args.gelu,
+            fused_ln_gelu=args.fused_ln_gelu,
         ),
         unet=UNetConfig(quant=args.unet_quant),
         train=TrainConfig(model_lr=args.model_lr),
@@ -1293,15 +1294,19 @@ def main(argv=None):
             )
     if args.platform:
         _force_platform(args.platform)
-    # every subcommand compiles large programs; reuse them across runs
+    # compute subcommands compile large programs; reuse them across runs
     # (5-25 min fresh compiles through the tunneled TPU relay vs seconds
     # cached). Must come after the platform pin — the helper reads the
-    # backend and stays off on CPU (see utils/cache.py).
-    from xai_audio_deepfakes_tpu.utils.cache import (
-        enable_persistent_compile_cache,
-    )
+    # backend and stays off on CPU (see utils/cache.py). Skipped for
+    # `serve`: it is a pure host-side HTTP server, and the helper's
+    # backend probe would otherwise grab the exclusive TPU client for the
+    # server's whole lifetime.
+    if args.fn is not cmd_serve:
+        from xai_audio_deepfakes_tpu.utils.cache import (
+            enable_persistent_compile_cache,
+        )
 
-    enable_persistent_compile_cache()
+        enable_persistent_compile_cache()
     return args.fn(args)
 
 

@@ -119,10 +119,13 @@ def _ln_gelu_pallas(x, scale, bias, *, eps, gelu, dtype, interpret,
         # pins input AND output (2 x 6.3 GB at the serving frontend shape)
         # and XLA adds a layout copy on top. When the input is still live
         # (e.g. saved as a VJP residual) XLA inserts the copy itself, so
-        # correctness never depends on the alias.
-        input_output_aliases={0: 0},
+        # correctness never depends on the alias. Only valid when input and
+        # output dtypes match (the serving case); x is passed UNCONVERTED
+        # either way so the f32 LN statistics see the caller's precision,
+        # exactly like ln_gelu_reference and the recompute-VJP backward.
+        input_output_aliases={0: 0} if x.dtype == dtype else {},
         interpret=interpret,
-    )(x.astype(dtype), g, lb)
+    )(x, g, lb)
 
 
 def _fwd(x, scale, bias, eps, gelu, dtype, interpret):

@@ -141,6 +141,12 @@ def build_gallery(
     return index_path
 
 
+# first line of every auto-built fallback index: lets serve_gallery tell a
+# pipeline-built gallery (authoritative, never overwritten) from its own
+# disposable output (rebuilt every serve so new artifacts appear)
+_FALLBACK_MARK = "<!-- fallback-gallery -->\n"
+
+
 def build_fallback_gallery(directory: str) -> str:
     """Render an index over a directory of loose artifacts that has no
     gallery (e.g. closed-loop outputs written before the gallery feature, or
@@ -152,11 +158,19 @@ def build_fallback_gallery(directory: str) -> str:
     don't record. Returns the index path."""
     files = set(os.listdir(directory))
     wavs = sorted(f for f in files if f.endswith(".wav"))
+    stems = [
+        f[: -len("_manipulated.wav")]
+        for f in wavs
+        if f.endswith("_manipulated.wav")
+    ]
+    # trailing-index -> PNG mapping is only unambiguous when no two stem
+    # families share an index (e.g. run_a_0 and run_b_0 would both claim
+    # final_mask_0.png — better to show no image than the wrong run's mask)
+    indices = [s.rsplit("_", 1)[-1] for s in stems]
+    idx_unique = {i for i in indices if indices.count(i) == 1}
     items, used = [], set()
-    for f in wavs:
-        if not f.endswith("_manipulated.wav"):
-            continue
-        stem = f[: -len("_manipulated.wav")]
+    for stem, idx in zip(stems, indices):
+        f = stem + "_manipulated.wav"
         item = {"source": stem, "original_audio": f}
         used.add(f)
         for suffix, key in (
@@ -166,13 +180,13 @@ def build_fallback_gallery(directory: str) -> str:
             if stem + suffix in files:
                 item[key] = stem + suffix
                 used.add(stem + suffix)
-        idx = stem.rsplit("_", 1)[-1]
-        for name, key in (
-            (f"manipulated_spec_{idx}.png", "spectrogram_img"),
-            (f"final_mask_{idx}.png", "mask_img"),
-        ):
-            if name in files:
-                item[key] = name
+        if idx in idx_unique:
+            for name, key in (
+                (f"manipulated_spec_{idx}.png", "spectrogram_img"),
+                (f"final_mask_{idx}.png", "mask_img"),
+            ):
+                if name in files:
+                    item[key] = name
         items.append(item)
     items.extend(
         {"source": f, "original_audio": f} for f in wavs if f not in used
@@ -180,7 +194,8 @@ def build_fallback_gallery(directory: str) -> str:
     index_path = os.path.join(directory, "index.html")
     with open(index_path, "w") as f:
         f.write(
-            _PAGE.format(
+            _FALLBACK_MARK
+            + _PAGE.format(
                 nav="",
                 items="".join(_item_html(it) for it in items),
                 polarity="(not recorded in these artifacts)",
@@ -193,9 +208,18 @@ def serve_gallery(directory: str, port: int = 8000) -> None:
     import functools
     import http.server
 
-    if not os.path.exists(os.path.join(directory, "index.html")):
+    index = os.path.join(directory, "index.html")
+    if not os.path.exists(index):
         print(f"no index.html in {directory} — building fallback gallery")
         build_fallback_gallery(directory)
+    else:
+        with open(index) as f:
+            first = f.readline()
+        if first == _FALLBACK_MARK:
+            # our own disposable index: rebuild so artifacts added since
+            # the last serve appear (a pipeline-built gallery is
+            # authoritative and is never touched)
+            build_fallback_gallery(directory)
     handler = functools.partial(
         http.server.SimpleHTTPRequestHandler, directory=directory
     )
