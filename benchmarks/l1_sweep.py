@@ -98,6 +98,7 @@ def main() -> None:
             "flip_rate": res["after"]["flip_rate"],
             "faithfulness": res["after"]["metrics"].get("faithfulness"),
             "final_loss": res["train_log"][-1]["loss"] if res["train_log"] else None,
+            "final_l1": res["train_log"][-1]["l1"] if res["train_log"] else None,
             "final_w": res["train_log"][-1]["w"] if res["train_log"] else None,
         }
         rows.append(row)

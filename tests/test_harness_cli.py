@@ -123,10 +123,20 @@ def test_gallery_builder(tmp_path):
         }
         for i in range(4)
     ]
+    # an item carrying only pred_original (older/partial artifact index)
+    # must render its one prediction instead of raising KeyError
+    results.append(
+        {
+            "source": "partial.wav",
+            "original_audio": "c.wav",
+            "pred_original": 0.7,
+        }
+    )
     index = build_gallery(results, str(tmp_path))
     assert os.path.exists(index)
     content = open(index).read()
     assert "audio controls" in content
+    assert "partial.wav" in content and "original: 0.7000" in content
     assert os.path.exists(tmp_path / "results.json")
 
 

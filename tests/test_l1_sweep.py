@@ -28,8 +28,13 @@ def test_l1_sweep_tiny_two_points(tmp_path, monkeypatch):
     assert [r["l1_scale"] for r in rows] == [1.0, 4.0]
     for r in rows:
         for k in ("own_iou", "other_iou", "cross_band_pair_iou",
-                  "keep_rate", "flip_rate", "faithfulness", "final_loss"):
+                  "keep_rate", "flip_rate", "faithfulness", "final_loss",
+                  "final_l1"):
             assert k in r and r[k] is not None
-    # the traced scale reaches the loss: identical corpora/seeds, so the
-    # total can only differ through the L1 term's multiplier
-    assert rows[1]["final_loss"] > rows[0]["final_loss"]
+    # the traced scale reaches the loss: identical corpora/seeds, so after
+    # 3 tiny epochs the masks are near-identical and the recorded L1 term
+    # (scale * mean|mask|) must be larger under the 4x multiplier. The
+    # TOTAL is not asserted — the learnable-w softplus renorm can
+    # down-weight the larger L1 term, so the total is not monotone in the
+    # multiplier.
+    assert rows[1]["final_l1"] > rows[0]["final_l1"]

@@ -1205,10 +1205,13 @@ def main(argv=None):
     p.add_argument(
         "--l1-scale", type=float, default=None,
         help="multiplier on the L1 sparsity term (default: the exact "
-             "reference formula, = 1.0). Traced, not baked: different "
-             "values share one compiled train step — see "
-             "benchmarks/l1_sweep.py for the measured sparsity/fidelity "
-             "frontier",
+             "reference formula, = 1.0). RECOMMENDED: 4 — measured "
+             "strictly dominant on the anyband frontier (own-band IoU "
+             "0.61 -> 0.80, out-of-band mask mass 0.171 -> 0.069, "
+             "keep/flip/faithfulness unchanged; benchmarks/l1_sweep.py, "
+             "docs/performance.md). The default stays 1.0 only for "
+             "reference parity. Traced, not baked: different values "
+             "share one compiled train step",
     )
     p.add_argument("--artifact-limit", type=int, default=8)
     _mesh_flags(p)
@@ -1297,11 +1300,24 @@ def main(argv=None):
     # compute subcommands compile large programs; reuse them across runs
     # (5-25 min fresh compiles through the tunneled TPU relay vs seconds
     # cached). Must come after the platform pin — the helper reads the
-    # backend and stays off on CPU (see utils/cache.py). Skipped for
-    # `serve`: it is a pure host-side HTTP server, and the helper's
-    # backend probe would otherwise grab the exclusive TPU client for the
-    # server's whole lifetime.
-    if args.fn is not cmd_serve:
+    # backend and stays off on CPU (see utils/cache.py). Allowlisted to the
+    # subcommands that actually compile device programs worth caching:
+    # `serve` is a pure host-side HTTP server and `train-detector` runs one
+    # tiny L-BFGS fit, and the helper's backend probe would otherwise grab
+    # the exclusive TPU client for their whole lifetime.
+    if args.fn in (
+        cmd_explain,
+        cmd_train,
+        cmd_eval,
+        cmd_attrib,
+        cmd_datagen,
+        cmd_embed,
+        cmd_vocode_datagen,
+        cmd_closed_loop,
+        cmd_profile,
+        cmd_export,
+        cmd_serve_api,
+    ):
         from xai_audio_deepfakes_tpu.utils.cache import (
             enable_persistent_compile_cache,
         )

@@ -88,6 +88,12 @@ def ln_gelu(x, scale, bias, eps: float, gelu: str, dtype=jnp.bfloat16,
     TPU (or interpret=True anywhere), reference formulation elsewhere.
     Rows are independent (stats are per [b, l] row), so edge tiles whose
     padded rows hold unspecified bits cannot pollute valid rows.
+
+    Call under jit only (all in-repo call sites are). The Pallas path
+    donates x into the output (input_output_aliases) and its "XLA inserts
+    a copy when x is still live" safety argument holds only for traced
+    computations; an eager top-level TPU call could invalidate a caller's
+    still-referenced x buffer.
     """
     if not (interpret or jax.default_backend() == "tpu"):
         return ln_gelu_reference(x, scale, bias, eps=eps, gelu=gelu, dtype=dtype)

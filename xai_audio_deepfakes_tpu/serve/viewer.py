@@ -44,12 +44,22 @@ def _item_html(item: dict, polarity_note: str = "") -> str:
         )
         if k in item
     )
+    # render only the prediction fields the artifact actually carries — an
+    # index emitted by an older/partial run may have pred_original without
+    # the reconstructed pair, and the gallery must not 500 on it
+    pred_parts = ", ".join(
+        f"{cap}: {item[k]:.4f}"
+        for k, cap in (
+            ("pred_original", "original"),
+            ("pred_reconstructed_mask", "reconstructed"),
+            ("pred_reconstructed_1mask", "1-mask"),
+        )
+        if k in item
+    )
     preds = (
-        f"""<p><b>Predictions</b> (P(class 1); {polarity_note}) —
-     original: {item["pred_original"]:.4f},
-     reconstructed: {item["pred_reconstructed_mask"]:.4f},
-     1-mask: {item["pred_reconstructed_1mask"]:.4f}</p>"""
-        if "pred_original" in item
+        f"<p><b>Predictions</b> (P(class 1); {polarity_note}) — "
+        f"{pred_parts}</p>"
+        if pred_parts
         else ""
     )
     return f"""
