@@ -226,6 +226,111 @@ def test_int8_encoder_close_to_f32(rng):
     assert rel < 0.05, rel
 
 
+def test_int8_conv1d_accuracy(rng):
+    """int8 conv1d (per-sample + per-output-channel scales) tracks the f32
+    conv within quantization noise at the frontend's k3 regime."""
+    from xai_audio_deepfakes_tpu.ops.quant import int8_conv1d
+
+    x = rng.standard_normal((2, 99, 64)).astype(np.float32)
+    k = (rng.standard_normal((3, 64, 48)).astype(np.float32) * 0.05)
+    ref = np.asarray(
+        jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(k), (2,), "VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+    )
+    out = np.asarray(
+        jax.jit(lambda a, b: int8_conv1d(a, b, stride=2))(
+            jnp.asarray(x), jnp.asarray(k)
+        )
+    )
+    assert out.shape == ref.shape
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel
+
+
+def test_quant_conv_encoder_close_to_f32(rng):
+    """quant_conv="int8" shares the f32 param tree and only quantizes the
+    >=64-channel conv layers; features stay tightly correlated with f32."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY,
+        conv_dim=(64, 64, 64),
+        conv_kernel=(10, 3, 2),
+        conv_stride=(5, 2, 2),
+    )
+    wav = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    enc32 = Wav2Vec2Encoder(cfg)
+    params = enc32.init(jax.random.PRNGKey(0), wav)
+    ref = np.asarray(enc32.apply(params, wav))
+
+    enc8 = Wav2Vec2Encoder(dataclasses.replace(cfg, quant_conv="int8"))
+    # identical tree: no re-init, no param surgery
+    out = np.asarray(jax.jit(enc8.apply)(params, wav))
+    assert out.shape == ref.shape
+    a, b = ref.ravel(), out.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.999, cos
+
+
+def test_int8_static_calibrated_close_to_dynamic(rng):
+    """int8-static with calibrated per-tensor scales tracks dynamic int8
+    closely on the calibration distribution, in both the unrolled and
+    scanned layer stacks (same param tree throughout)."""
+    import dataclasses
+
+    from xai_audio_deepfakes_tpu.models.wav2vec2 import stack_layer_params
+
+    # output_layer == num_layers (the flagship truncation's shape): every
+    # layer runs in both the unrolled and scanned layouts
+    base = dataclasses.replace(TINY, output_layer=TINY.num_layers)
+    wav = jnp.asarray(rng.standard_normal((4, 4000)).astype(np.float32) * 0.1)
+    enc_dyn = Wav2Vec2Encoder(dataclasses.replace(base, quant="int8"))
+    params = enc_dyn.init(jax.random.PRNGKey(0), wav)
+    dyn = np.asarray(enc_dyn.apply(params, wav))
+
+    n_run = base.num_layers
+    enc_st = Wav2Vec2Encoder(dataclasses.replace(base, quant="int8-static"))
+    _, absmax = enc_st.apply(params, wav, calibrate=True)
+    assert absmax.shape == (n_run, 4)
+    assert np.all(np.asarray(absmax) > 0)
+    scales = absmax / 127.0
+
+    out = np.asarray(jax.jit(enc_st.apply)(params, wav, act_scales=scales))
+    a, b = dyn.ravel(), out.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.999, cos
+
+    # uncalibrated int8-static falls back to dynamic scales exactly
+    fallback = np.asarray(enc_st.apply(params, wav))
+    np.testing.assert_allclose(fallback, dyn, atol=1e-5)
+
+    # scanned stack: calibrate in the scanned layout (all num_layers run;
+    # the readout still takes hidden_states[output_layer]); its prefix
+    # matches the unrolled calibration, and serving with those scales
+    # matches the unrolled static output
+    p = jax.tree.map(np.asarray, dict(params["params"]))
+    stack_layer_params(p, base.num_layers)
+    enc_scan = Wav2Vec2Encoder(
+        dataclasses.replace(base, quant="int8-static", scan_layers=True)
+    )
+    _, absmax_s = enc_scan.apply({"params": p}, wav, calibrate=True)
+    assert absmax_s.shape == (base.num_layers, 4)
+    np.testing.assert_allclose(
+        np.asarray(absmax_s[:n_run]), np.asarray(absmax), rtol=1e-5
+    )
+    out_s = np.asarray(
+        jax.jit(enc_scan.apply)(
+            {"params": p}, wav, act_scales=absmax_s / 127.0
+        )
+    )
+    # not elementwise: scan's different f32 accumulation order flips a few
+    # values sitting exactly on int8 rounding boundaries by one step
+    rel = np.linalg.norm(out_s - out) / np.linalg.norm(out)
+    assert rel < 1e-3, rel
+
+
 def test_tanh_gelu_encoder_close_to_exact(rng):
     """gelu="tanh" (the 2.25x-cheaper VPU serving approximation) must keep
     features tightly correlated with the exact-erf path on the same params."""

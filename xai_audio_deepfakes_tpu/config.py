@@ -182,6 +182,14 @@ class EmbedderConfig:
     # activation scales and per-channel weight scales computed in-graph; the
     # param tree stays f32, so every weight-import path works unchanged.
     # Serving-only knob (quantization is not differentiated through).
+    quant_conv: str = "none"  # "int8": the conv frontend's >=64-channel
+    # layers (conv_1..conv_6 — conv_0 has Cin=1 and a quantize pass over
+    # its L=80k input costs more HBM than the whole conv saves) run as
+    # int8 x int8 -> int32 MXU contractions with per-sample activation
+    # scales. Separate from `quant` because the regimes differ: the
+    # transformer matmuls measured ~2x from int8, while the conv frontend
+    # already runs at 70-89% of bf16 MXU peak with int32-accumulator HBM
+    # temps as the cost (see docs/performance.md). Serving-only.
     fused_interpret: bool = False  # force the fused Pallas paths (attention
     # + conv frontend) in interpret mode regardless of backend — CPU parity
     # tests of the production kernels at real geometry.

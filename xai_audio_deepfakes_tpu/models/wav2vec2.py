@@ -125,17 +125,32 @@ class ConvLayerNormBlock(nn.Module):
     eps: float
     dtype: Any
     gelu: str = "exact"
+    quant: str = "none"
     fused: bool = False
     fused_ln: bool = False
     fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B, L, C]
-        # NOTE: deliberately NOT int8-quantized even under cfg.quant: the
-        # early conv layers run at L ~ 16k x 512ch where the int32
-        # accumulator temps double activation HBM (measured: batch-128
-        # serving goes 15.7G -> 17.6G, OOM), and conv FLOPs concentrate in
-        # exactly those layers — int8 convs lose on this geometry.
+        # NOT int8-quantized under cfg.quant (only under the separate
+        # cfg.quant_conv knob): the early conv layers run at L ~ 16k x
+        # 512ch where the int32 accumulator temps double activation HBM
+        # (measured: batch-128 serving goes 15.7G -> 17.6G, OOM), and conv
+        # FLOPs concentrate in exactly those layers. quant_conv="int8"
+        # measures that trade explicitly (round-5 ask; Cin>=64 gate keeps
+        # conv_0's L=80k input out of the quantize pass).
+        if self.quant == "int8" and x.shape[-1] >= 64:
+            from xai_audio_deepfakes_tpu.ops.quant import int8_conv1d
+
+            kernel, cbias = _ConvParams(
+                self.kernel, x.shape[-1], self.features, self.use_bias,
+                name="conv",
+            )()
+            y = int8_conv1d(x, kernel, stride=self.stride) + cbias
+            x = _LNf32Stats(self.eps, self.dtype, name="layer_norm")(
+                y.astype(self.dtype)
+            )
+            return _gelu(x, self.gelu)
         from xai_audio_deepfakes_tpu.ops.pallas_conv import (
             conv_ln_gelu,
             supports_fused_conv,
@@ -204,6 +219,7 @@ class FeatureEncoder(nn.Module):
                 eps=self.cfg.layer_norm_eps,
                 dtype=_dtype(self.cfg),
                 gelu=self.cfg.gelu,
+                quant=self.cfg.quant_conv,
                 fused=self.cfg.fused_conv,
                 fused_ln=self.cfg.fused_ln_gelu,
                 fused_interpret=self.cfg.fused_interpret,
@@ -294,7 +310,10 @@ class PositionalConvEmbedding(nn.Module):
     def __call__(self, x):  # [B, T, H]
         k = self.cfg.num_conv_pos_embeddings
         pad = k // 2
-        if self.cfg.quant == "int8":
+        # int8-static keeps this site dynamic: the pos conv runs once per
+        # forward (vs 4 sites x num_layers in the transformer), so a static
+        # scale would save one reduce out of ~40
+        if self.cfg.quant in ("int8", "int8-static"):
             y = _Int8GroupedConv(
                 self.cfg.hidden_size,
                 kernel_size=k,
@@ -392,7 +411,7 @@ class HeadDense(nn.Module):
                 kernel = jnp.pad(
                     k3, ((0, 0), (0, hdp - hd), (0, 0))
                 ).reshape(nh * hdp, self.features)
-        if self.quant == "int8":
+        if self.quant in ("int8", "int8-static"):
             from xai_audio_deepfakes_tpu.ops.quant import (
                 int8_matmul_prequant,
                 quantize_symmetric,
@@ -412,20 +431,54 @@ class EncoderLayer(nn.Module):
 
     With cfg.quant == "int8" the six projection matmuls (q/k/v/out, FFN
     in/out) run int8 on the MXU; LN, softmax, and the small attention
-    einsums stay in f32/bf16 (they carry ~t/(6h) of the layer's FLOPs)."""
+    einsums stay in f32/bf16 (they carry ~t/(6h) of the layer's FLOPs).
+
+    cfg.quant == "int8-static" replaces the DYNAMIC per-token activation
+    scales with CALIBRATED per-tensor scales passed via `act_scales` [4]
+    (site order: qkv-LN output, attention context, ffn-LN output, GELU
+    output) — the quantize step becomes a single read+write pass with no
+    per-token max-reduce and the matmul epilogue's rescale a scalar
+    broadcast. Calibrate with `collect_absmax=True`, which returns
+    (y, absmax[4]); scales = absmax / 127 over a calibration corpus
+    (`calibrate_act_scales`). With act_scales=None, int8-static falls
+    back to dynamic scales (uncalibrated serving still works)."""
 
     cfg: EmbedderConfig
 
     @nn.compact
-    def __call__(self, x):  # [B, T, H]
+    def __call__(self, x, act_scales=None, collect_absmax: bool = False):
+        # x: [B, T, H]; act_scales: [4] f32 static scales or None
         cfg = self.cfg
         h = cfg.hidden_size
         nh = cfg.num_heads
         hd = h // nh
         dt = _dtype(cfg)
+        quant = cfg.quant in ("int8", "int8-static")
+        if collect_absmax and not quant:
+            raise ValueError(
+                "collect_absmax calibrates the int8 activation-quantize "
+                "sites; set cfg.quant to 'int8' or 'int8-static'"
+            )
+        use_static = cfg.quant == "int8-static" and act_scales is not None
+        absmax: list = []
+
+        def _site(t, i):
+            """Quantize activation tensor t at site i: int8 values + scale
+            (per-token dynamic, or the calibrated static scalar)."""
+            from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
+
+            if collect_absmax:
+                absmax.append(jnp.max(jnp.abs(t.astype(jnp.float32))))
+            if use_static:
+                s = jnp.maximum(act_scales[i], 1e-12)
+                tq = jnp.clip(
+                    jnp.round(t.astype(jnp.float32) / s), -127.0, 127.0
+                ).astype(jnp.int8)
+                return tq, s
+            return quantize_symmetric(t, axis=-1)
 
         def dense(features, name):
-            if cfg.quant == "int8":
+            if quant:
                 return Int8Dense(features, dtype=dt, name=name)
             return nn.Dense(features, dtype=dt, name=name)
 
@@ -447,10 +500,10 @@ class EncoderLayer(nn.Module):
                     head_pad=pad, pad_axis=pad_axis, name=name,
                 )
 
-            if cfg.quant == "int8":
-                from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
-
-                yq, sy = quantize_symmetric(y, axis=-1)
+            if quant:
+                # q/k/v read the same LN output: one shared activation-
+                # quantize pass instead of three (the quantize is HBM-bound)
+                yq, sy = _site(y, 0)
                 q = proj("q_proj")(y, yq, sy) * (hd**-0.5)
                 k = proj("k_proj")(y, yq, sy)
                 v = proj("v_proj")(y, yq, sy)
@@ -459,14 +512,14 @@ class EncoderLayer(nn.Module):
                 k = proj("k_proj")(y)
                 v = proj("v_proj")(y)
             ctx = attention(q, k, v, nh, interpret=cfg.fused_interpret)  # [B, T, NH*HDP]
-            x = residual + proj("out_proj", pad_axis=0)(ctx)
+            if quant:
+                cq, cs = _site(ctx, 1)
+                x = residual + proj("out_proj", pad_axis=0)(ctx, cq, cs)
+            else:
+                x = residual + proj("out_proj", pad_axis=0)(ctx)
         else:
-            if cfg.quant == "int8":
-                # q/k/v read the same LN output: one shared activation-
-                # quantize pass instead of three (the quantize is HBM-bound)
-                from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
-
-                yq, sy = quantize_symmetric(y, axis=-1)
+            if quant:
+                yq, sy = _site(y, 0)
                 q = dense(h, "q_proj")(y, yq, sy) * (hd**-0.5)
                 k = dense(h, "k_proj")(y, yq, sy)
                 v = dense(h, "v_proj")(y, yq, sy)
@@ -481,13 +534,27 @@ class EncoderLayer(nn.Module):
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h)
-            x = residual + dense(h, "out_proj")(ctx)
+            if quant:
+                cq, cs = _site(ctx, 1)
+                x = residual + dense(h, "out_proj")(ctx, cq, cs)
+            else:
+                x = residual + dense(h, "out_proj")(ctx)
 
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ffn_ln")(x)
-        y = dense(cfg.intermediate_size, "ffn_in")(y)
-        y = _gelu(y, cfg.gelu)
-        y = dense(h, "ffn_out")(y)
-        return x + y
+        if quant:
+            y1q, s1 = _site(y, 2)
+            y = dense(cfg.intermediate_size, "ffn_in")(y, y1q, s1)
+            y = _gelu(y, cfg.gelu)
+            gq, s3 = _site(y, 3)
+            y = dense(h, "ffn_out")(y, gq, s3)
+        else:
+            y = dense(cfg.intermediate_size, "ffn_in")(y)
+            y = _gelu(y, cfg.gelu)
+            y = dense(h, "ffn_out")(y)
+        out = x + y
+        if collect_absmax:
+            return out, jnp.stack(absmax)
+        return out
 
 
 def _remat(cls, cfg: EmbedderConfig):
@@ -506,15 +573,25 @@ class _ScanLayerBody(nn.Module):
     """scan body: one EncoderLayer per step over stacked [L, ...] params.
     `collect` additionally emits each layer's INPUT as the scan output
     (for hidden_states parity); off by default to avoid materializing the
-    [L, B, T, H] stack."""
+    [L, B, T, H] stack. `calibrate` emits the layer's quantize-site absmax
+    [4] instead (scan stacks them to [L, 4] for calibrate_act_scales).
+    `scales` is the per-layer [4] slice of the static activation scales
+    (scanned along axis 0) or None."""
 
     cfg: EmbedderConfig
     collect: bool = False
+    calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x, _):
-        y = EncoderLayer(self.cfg, name="layer")(x)
-        return y, (x if self.collect else None)
+    def __call__(self, x, scales):
+        if self.calibrate:
+            y, absmax = EncoderLayer(self.cfg, name="layer")(
+                x, scales, collect_absmax=True
+            )
+        else:
+            y = EncoderLayer(self.cfg, name="layer")(x, scales)
+            absmax = None
+        return y, (x if self.collect else None, absmax)
 
 
 class Wav2Vec2Encoder(nn.Module):
@@ -532,12 +609,21 @@ class Wav2Vec2Encoder(nn.Module):
     cfg: EmbedderConfig
 
     @nn.compact
-    def __call__(self, wav, collect_hidden: bool = False):
+    def __call__(self, wav, collect_hidden: bool = False,
+                 act_scales=None, calibrate: bool = False):
+        # act_scales: [num_layers, 4] calibrated static activation scales
+        # (cfg.quant == "int8-static"); calibrate=True returns
+        # (features, absmax [num_layers, 4]) for calibrate_act_scales.
         cfg = self.cfg
+        if act_scales is not None and cfg.quant != "int8-static":
+            raise ValueError(
+                "act_scales only applies with cfg.quant == 'int8-static'"
+            )
         x = FeatureEncoder(cfg, name="feature_encoder")(wav)
         x = FeatureProjection(cfg, name="feature_projection")(x)
         x = x + PositionalConvEmbedding(cfg, name="pos_conv")(x)
 
+        site_absmax = None
         if cfg.scan_layers:
             # the param stack is always [num_layers, ...]; an inner readout
             # (output_layer < num_layers) collects per-layer states. For the
@@ -550,9 +636,10 @@ class Wav2Vec2Encoder(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=cfg.num_layers,
-            )(cfg, collect=collect, name="layers")
+            )(cfg, collect=collect, calibrate=calibrate, name="layers")
             first = x
-            x, inputs = scanned(x, None)  # inputs: [L, B, T, H] if collect
+            # inputs: [L, B, T, H] if collect; site_absmax: [L, 4] if calibrate
+            x, (inputs, site_absmax) = scanned(x, act_scales)
             if collect:
                 hidden_states = (
                     [first]
@@ -571,9 +658,19 @@ class Wav2Vec2Encoder(nn.Module):
             layer_cls = EncoderLayer
             if cfg.remat:
                 layer_cls = _remat(EncoderLayer, cfg)
+            absmaxes = []
             for i in range(n_run):
-                x = layer_cls(cfg, name=f"layer_{i}")(x)
+                scales_i = None if act_scales is None else act_scales[i]
+                if calibrate:
+                    x, am = layer_cls(cfg, name=f"layer_{i}")(
+                        x, scales_i, collect_absmax=True
+                    )
+                    absmaxes.append(am)
+                else:
+                    x = layer_cls(cfg, name=f"layer_{i}")(x, scales_i)
                 hidden_states.append(x)
+            if calibrate:
+                site_absmax = jnp.stack(absmaxes)
 
         out = hidden_states[min(cfg.output_layer, len(hidden_states) - 1)]
         if cfg.final_layer_norm:
@@ -583,6 +680,8 @@ class Wav2Vec2Encoder(nn.Module):
         out = out.astype(jnp.float32)
         if collect_hidden:
             return out, tuple(h.astype(jnp.float32) for h in hidden_states)
+        if calibrate:
+            return out, site_absmax
         return out
 
 

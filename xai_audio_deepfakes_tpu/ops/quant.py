@@ -59,6 +59,33 @@ def int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return int8_matmul_prequant(xq, sx, w)
 
 
+def int8_conv1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: int = 1,
+    padding="VALID",
+) -> jnp.ndarray:
+    """NHC x [B,L,Cin] * HIO kernel [k,Cin,Cout] -> f32 [B,L',Cout],
+    contracted on the MXU in int8 with int32 accumulation.
+
+    For the wav2vec2 conv frontend's 512-channel k3 layers — the regime
+    where the UNet's int8 rejection (4-64 channel widths, BASELINE.md
+    round 3) does not apply. Scales: per-SAMPLE for activations (axis
+    (1, 2) — the conv mixes time steps so per-token scales don't apply,
+    and per-sample keeps each clip's output independent of its batch
+    neighbors under the serve-api batcher), per-output-channel for
+    weights. Serving-only: `jnp.round` has zero gradient.
+    """
+    xq, sx = quantize_symmetric(x, axis=(1, 2))        # [B,L,C],  [B,1,1]
+    kq, sk = quantize_symmetric(kernel, axis=(0, 1))   # [k,I,O],  [1,1,O]
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, (stride,), padding,
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (sx * sk)
+
+
 def int8_conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
