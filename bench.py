@@ -11,33 +11,69 @@ Prints ONE JSON line:
 where RTF = (clips/s * 5 s-audio-per-clip); the baseline target is the
 north-star >50x realtime per chip (BASELINE.md — the reference publishes no
 numbers of its own).
+
+Resilience (round-4 post-mortem, docs/performance.md "Round-4 bench
+crash"): the default invocation is an OUTER DRIVER that (1) pre-flight
+probes the device with a tiny program, retrying once — the tunneled chip's
+transient `FAILED_PRECONDITION` faults frequently clear in seconds; (2)
+runs the measurement in a fresh subprocess; (3) on failure retries with
+the persistent compile cache bypassed (ADDVISOR_NO_COMPILE_CACHE=1 — the
+round-4 crash had a 549 MB cache in play); (4) then retries at batch 64;
+and (5) ALWAYS writes BENCH_DIAG.json (attempts, phases reached, error
+tails) so a failed round still records something parseable. On total
+failure the one stdout JSON line carries the error instead of a number.
+
+  python bench.py            # outer driver (what the round driver runs)
+  python bench.py --inner    # one measurement attempt, this process
+  python bench.py --preflight
+
+Env knobs (inherited by every attempt): BENCH_QUANT, BENCH_GELU,
+BENCH_BATCH, BENCH_ITERS, BENCH_UNET_QUANT, BENCH_FUSED_CONV,
+BENCH_FUSED_LN, BENCH_STFT_PALLAS; BENCH_TINY=1 swaps in the tiny test
+geometry (CPU-friendly — used by tests/test_bench_driver.py);
+BENCH_INJECT_FAIL={nocache|batch|always} injects a warmup-time failure to
+exercise the fallback ladder.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
+DIAG_PATH = os.environ.get(
+    "BENCH_DIAG_PATH", os.path.join(REPO, "BENCH_DIAG.json")
+)
 
 
-def main(batch: int | None = None, iters: int = 10) -> None:
+def run_inner(batch: int | None = None, iters: int | None = None) -> None:
+    from xai_audio_deepfakes_tpu.utils.resilience import phase
+
+    phase("imports")
     # persistent compile cache: repeated driver runs (and recoveries from the
     # flaky remote-compile relay) reuse the compiled program. TPU-only by
     # design (utils/cache.py) — XLA:CPU AOT entries are host-CPU-specific.
+    # The outer driver's second attempt disables it (ADDVISOR_NO_COMPILE_CACHE).
     from xai_audio_deepfakes_tpu.utils.cache import (
         enable_persistent_compile_cache,
     )
 
     enable_persistent_compile_cache()
 
-    from xai_audio_deepfakes_tpu.config import EmbedderConfig, PipelineConfig
-    from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    from xai_audio_deepfakes_tpu.config import UNetConfig
+    from xai_audio_deepfakes_tpu.config import (
+        EmbedderConfig,
+        PipelineConfig,
+        STFTConfig,
+        UNetConfig,
+    )
+    from xai_audio_deepfakes_tpu.pipeline.core import ADDvisorPipeline
 
     # serving defaults: int8 MXU matmuls + tanh GELU for the embedder
     # (masks/waveforms bit-identical to bf16; probability deltas below int8
@@ -53,8 +89,13 @@ def main(batch: int | None = None, iters: int = 10) -> None:
             )
         return v
 
-    quant = _env_choice("BENCH_QUANT", "int8", ("none", "int8"))
+    quant = _env_choice(
+        "BENCH_QUANT", "int8", ("none", "int8", "int8-static")
+    )
     gelu = _env_choice("BENCH_GELU", "tanh", ("exact", "tanh"))
+    # int8 conv frontend (BENCH_CONV_QUANT=int8): measured round 5 — see
+    # docs/performance.md for the adopt/reject record.
+    conv_quant = _env_choice("BENCH_CONV_QUANT", "none", ("none", "int8"))
     # fused conv default-off: the Pallas conv kernel is parity-verified but
     # its serving graph over-allocates at batch 128 (FAILED_PRECONDITION);
     # opt in with BENCH_FUSED_CONV=1 at smaller batches.
@@ -69,22 +110,38 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     # Pallas fused framing+DFT for the forward STFT (BENCH_STFT_PALLAS=1);
     # measured at parity with the chunk-stream matmul-DFT default.
     stft_pallas = os.environ.get("BENCH_STFT_PALLAS", "0") == "1"
-    from xai_audio_deepfakes_tpu.config import STFTConfig
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
 
-    cfg = PipelineConfig(
-        stft=STFTConfig(use_pallas=stft_pallas),
-        embedder=EmbedderConfig(
-            dtype="bfloat16", quant=quant, gelu=gelu, fused_conv=fused_conv,
-            fused_ln_gelu=fused_ln,
-        ),
-        unet=UNetConfig(dtype="bfloat16", quant=unet_quant),
-    )
+    phase("config")
+    if tiny:
+        from xai_audio_deepfakes_tpu.config import AudioConfig
+
+        cfg = PipelineConfig(
+            audio=AudioConfig(clip_seconds=0.5),
+            stft=STFTConfig(use_pallas=stft_pallas),
+            embedder=EmbedderConfig.tiny(),
+            unet=UNetConfig(freq_bins=64, frames=24, base_channels=4),
+        )
+    else:
+        cfg = PipelineConfig(
+            stft=STFTConfig(use_pallas=stft_pallas),
+            embedder=EmbedderConfig(
+                dtype="bfloat16", quant=quant, gelu=gelu,
+                quant_conv=conv_quant,
+                fused_conv=fused_conv, fused_ln_gelu=fused_ln,
+            ),
+            unet=UNetConfig(dtype="bfloat16", quant=unet_quant),
+        )
     pipe = ADDvisorPipeline(cfg)
+    phase("params")
     params = pipe.init_params(jax.random.PRNGKey(0))
 
     # batch 128 won the measured sweep on v5e: 109 clips/s @8, 120 @32,
     # 130 @64, 143 @128; 256 OOMs (bf16 FFN activations ~3 GB each)
-    batch = batch or int(os.environ.get("BENCH_BATCH", "128"))
+    if batch is None:
+        batch = int(os.environ.get("BENCH_BATCH", "2" if tiny else "128"))
+    if iters is None:
+        iters = int(os.environ.get("BENCH_ITERS", "10"))
     clip_seconds = cfg.audio.clip_seconds
     wav = jnp.asarray(
         np.random.default_rng(0)
@@ -93,8 +150,28 @@ def main(batch: int | None = None, iters: int = 10) -> None:
         * 0.1
     )
 
+    if quant == "int8-static":
+        # static activation scales: calibrate on the serving batch itself
+        # (real deployments calibrate on a held-out corpus; for the
+        # benchmark the input distribution IS the workload)
+        phase("calibrate")
+        params = pipe.calibrate_quant(params, wav)
+
     explain = pipe.jit_explain(decoder="unet")
 
+    # test-only failure injection: exercises the outer driver's fallback
+    # ladder without a real device fault (tests/test_bench_driver.py)
+    inject = os.environ.get("BENCH_INJECT_FAIL", "")
+    if inject == "always":
+        raise RuntimeError("injected failure (BENCH_INJECT_FAIL=always)")
+    if inject == "nocache" and os.environ.get(
+        "ADDVISOR_NO_COMPILE_CACHE", "0"
+    ) != "1":
+        raise RuntimeError("injected failure (BENCH_INJECT_FAIL=nocache)")
+    if inject == "batch" and batch > 64:
+        raise RuntimeError("injected failure (BENCH_INJECT_FAIL=batch)")
+
+    phase("compile+warmup")
     # warmup / compile. NOTE: on the tunneled single-chip platform here,
     # jax.block_until_ready returns before execution finishes; a
     # device-to-host copy of an existing output buffer is the reliable
@@ -103,6 +180,7 @@ def main(batch: int | None = None, iters: int = 10) -> None:
     out = explain(params, wav)
     _ = np.asarray(out.probs_relevant)
 
+    phase("measure")
     t0 = time.perf_counter()
     for _ in range(iters):
         out = explain(params, wav)
@@ -111,6 +189,7 @@ def main(batch: int | None = None, iters: int = 10) -> None:
 
     clips_per_sec = batch * iters / dt
     rtf = clips_per_sec * clip_seconds
+    phase("done")
     print(
         json.dumps(
             {
@@ -122,15 +201,120 @@ def main(batch: int | None = None, iters: int = 10) -> None:
                 "batch": batch,
                 "quant": quant,
                 "gelu": gelu,
+                "conv_quant": conv_quant,
                 "fused_conv": fused_conv,
                 "fused_ln_gelu": fused_ln,
                 "unet_quant": unet_quant,
                 "stft": "pallas" if stft_pallas else "matmul",
+                "tiny": tiny,
                 "device": str(jax.devices()[0]),
             }
         )
     )
 
 
+def run_preflight() -> None:
+    from xai_audio_deepfakes_tpu.utils.resilience import device_preflight
+
+    info = device_preflight()
+    print(json.dumps({"preflight": "ok", **info}))
+
+
+def run_outer() -> int:
+    from xai_audio_deepfakes_tpu.utils.resilience import run_attempts
+
+    t0 = time.perf_counter()
+    diag: dict = {"argv": sys.argv, "preflight": None, "attempts": []}
+
+    # 1) pre-flight: tiny compile+execute+host-transfer in a subprocess
+    # (isolates a wedged backend), retried once inside device_preflight —
+    # the round-4 fault class clears within seconds when transient.
+    pf_result, pf_records = run_attempts(
+        [sys.executable, os.path.abspath(__file__), "--preflight"],
+        [("preflight", {})],
+        timeout_s=float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "600")),
+    )
+    diag["preflight"] = pf_records
+    if pf_result is None:
+        # the device never answered a 128x128 matmul: report, don't burn a
+        # multi-minute compile. Diagnostics still say how far we got.
+        return _finish(diag, None, t0)
+
+    # 2) measurement ladder, each attempt a fresh subprocess
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    ladder: list[tuple[str, dict]] = [
+        ("default", {}),
+        ("cache-bypass", {"ADDVISOR_NO_COMPILE_CACHE": "1"}),
+    ]
+    if batch > 64:
+        ladder.append(
+            (
+                "batch-64-fallback",
+                {"ADDVISOR_NO_COMPILE_CACHE": "1", "BENCH_BATCH": "64"},
+            )
+        )
+    result, records = run_attempts(
+        [sys.executable, os.path.abspath(__file__), "--inner"],
+        ladder,
+        timeout_s=float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700")),
+    )
+    diag["attempts"] = records
+    return _finish(diag, result, t0)
+
+
+def _finish(diag: dict, result: dict | None, t0: float) -> int:
+    diag["ok"] = result is not None
+    diag["result"] = result
+    diag["total_seconds"] = round(time.perf_counter() - t0, 3)
+    try:
+        with open(DIAG_PATH, "w") as f:
+            json.dump(diag, f, indent=1)
+    except OSError as e:
+        print(f"warning: could not write {DIAG_PATH}: {e}", file=sys.stderr)
+    if result is not None:
+        succeeded = next(
+            (a for a in diag["attempts"] if a.get("ok")), None
+        )
+        if succeeded is not None and succeeded["label"] != "default":
+            result = {**result, "recovered_via": succeeded["label"]}
+        print(json.dumps(result))
+        return 0
+    # total failure: the one stdout line is still parseable JSON, carrying
+    # the last phase reached and the error tail instead of a number
+    attempts = diag["preflight"] + diag["attempts"]
+    last = attempts[-1] if attempts else {}
+    print(
+        json.dumps(
+            {
+                "metric": "explanations/sec/chip",
+                "value": None,
+                "unit": "clips/s",
+                "vs_baseline": None,
+                "error": (last.get("stderr_tail") or ["unknown"])[-1],
+                "failed_attempts": [a["label"] for a in attempts],
+                "last_phase": (last.get("phases") or ["none"])[-1],
+                "diagnostics": os.path.basename(DIAG_PATH),
+            }
+        )
+    )
+    return 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--inner", action="store_true",
+                    help="one measurement attempt in this process")
+    ap.add_argument("--preflight", action="store_true",
+                    help="tiny device probe only")
+    args = ap.parse_args()
+    if args.preflight:
+        run_preflight()
+        return 0
+    if args.inner:
+        run_inner()
+        return 0
+    return run_outer()
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -118,7 +118,47 @@ class ADDvisorPipeline:
         norm = zero_mean_unit_var_norm(wav)
         if self.features_fn is not None:
             return self.features_fn(params["encoder"], norm)
-        return self.encoder.apply(params["encoder"], norm)
+        kw = {}
+        if (
+            self.cfg.embedder.quant == "int8-static"
+            and "quant_scales" in params
+        ):
+            kw["act_scales"] = params["quant_scales"]
+        return self.encoder.apply(params["encoder"], norm, **kw)
+
+    def calibrate_quant(
+        self, params: dict, wavs: jnp.ndarray, batch_size: int = 16
+    ) -> dict:
+        """Calibrate static per-tensor activation scales for the embedder's
+        int8 matmul sites (cfg.embedder.quant == "int8-static") on a batch
+        of representative clips. Returns a new params dict carrying a
+        "quant_scales" [num_layers, 4] entry that `features` passes into
+        the encoder; uncalibrated int8-static serving falls back to
+        dynamic per-token scales. The scales replace the per-token
+        max-reduce of dynamic quantization with one calibrated scalar per
+        site (max-abs over the corpus / 127; outliers beyond it saturate
+        at +-127, standard static-quant behavior)."""
+        if self.cfg.embedder.quant not in ("int8", "int8-static"):
+            raise ValueError(
+                "calibrate_quant needs an int8 embedder config "
+                f"(got quant={self.cfg.embedder.quant!r})"
+            )
+        fn = jax.jit(
+            lambda p, w: self.encoder.apply(
+                p, zero_mean_unit_var_norm(w), calibrate=True
+            )[1]
+        )
+        n = wavs.shape[0]
+        bs = min(batch_size, n)
+        absmax = None
+        # full batches only: one compiled shape; calibration does not need
+        # the ragged tail
+        for i in range(0, n - bs + 1, bs):
+            m = fn(params["encoder"], wavs[i : i + bs])
+            absmax = m if absmax is None else jnp.maximum(absmax, m)
+        out = dict(params)
+        out["quant_scales"] = absmax / 127.0
+        return out
 
     def classify_features(self, params: dict, feats: jnp.ndarray):
         """feats [B, T, H] -> (logits, probs) [B, 1] via time mean-pool
