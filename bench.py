@@ -49,9 +49,21 @@ DIAG_PATH = os.environ.get(
 )
 
 
+def _pin_platform() -> None:
+    """Honor ADDVISOR_PLATFORM (e.g. cpu for the driver tests): this box's
+    sitecustomize re-pins the axon TPU backend over JAX_PLATFORMS, so only
+    jax.config.update wins (same mechanism as the CLI's --platform)."""
+    name = os.environ.get("ADDVISOR_PLATFORM", "")
+    if name:
+        import jax
+
+        jax.config.update("jax_platforms", name)
+
+
 def run_inner(batch: int | None = None, iters: int | None = None) -> None:
     from xai_audio_deepfakes_tpu.utils.resilience import phase
 
+    _pin_platform()
     phase("imports")
     # persistent compile cache: repeated driver runs (and recoveries from the
     # flaky remote-compile relay) reuse the compiled program. TPU-only by
@@ -216,6 +228,7 @@ def run_inner(batch: int | None = None, iters: int | None = None) -> None:
 def run_preflight() -> None:
     from xai_audio_deepfakes_tpu.utils.resilience import device_preflight
 
+    _pin_platform()
     info = device_preflight()
     print(json.dumps({"preflight": "ok", **info}))
 

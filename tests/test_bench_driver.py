@@ -22,7 +22,10 @@ def _run_bench(tmp_path, extra_env):
     env = dict(os.environ)
     env.update(
         {
-            "JAX_PLATFORMS": "cpu",
+            # ADDVISOR_PLATFORM, not JAX_PLATFORMS: this box's sitecustomize
+            # re-pins the axon TPU backend over the env var; the bench's
+            # jax.config-based pin is the one that wins
+            "ADDVISOR_PLATFORM": "cpu",
             "BENCH_TINY": "1",
             "BENCH_ITERS": "1",
             "BENCH_DIAG_PATH": str(tmp_path / "diag.json"),

@@ -77,6 +77,38 @@ def test_feat_decoder_contract(rng):
     assert np.all(m > 0) and np.all(m < 1)
 
 
+def test_feat_decoder_scaled_variant(rng):
+    """The round-5 capacity knobs: attention blocks add global frame
+    context, gradients flow, and the DEFAULT config's param tree is
+    unchanged (round-4 checkpoints keep loading)."""
+    cfg0 = FeatDecoderConfig(feature_dim=64, hidden=32)
+    feats = jnp.asarray(rng.standard_normal((2, 49, 64)).astype(np.float32))
+    tree0 = set(
+        FeatureMaskDecoder(cfg0).init(jax.random.PRNGKey(0), feats)["params"]
+    )
+    assert tree0 == {"in_ln", "proj_in", "tconv_0", "tconv_1", "out_ln",
+                     "freq_head"}
+
+    cfg = FeatDecoderConfig(
+        feature_dim=64, hidden=32, temporal_blocks=3, attn_layers=2,
+        attn_heads=4,
+    )
+    model = FeatureMaskDecoder(cfg)
+    variables = model.init(jax.random.PRNGKey(0), feats)
+    assert "attn_0" in variables["params"] and "ffn_out_1" in variables["params"]
+    mask = model.apply(variables, feats)
+    assert mask.shape == (2, 512, 49)
+    m = np.asarray(mask)
+    assert np.all(m > 0) and np.all(m < 1)
+
+    def loss(p):
+        return jnp.mean(model.apply({"params": p}, feats) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    gmax = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert np.isfinite(gmax) and gmax > 0
+
+
 def test_logreg_matches_sklearn(rng):
     """LogReg head parity vs sklearn predict_proba (`classifier_embedder.py:21-38`)."""
     from sklearn.linear_model import LogisticRegression

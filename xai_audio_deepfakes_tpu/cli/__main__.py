@@ -764,6 +764,7 @@ def cmd_closed_loop(args):
     made checkable without external weights; `train/closed_loop.py`)."""
     from xai_audio_deepfakes_tpu.config import (
         EmbedderConfig,
+        FeatDecoderConfig,
         LossConfig,
         MaskingConvention,
         PipelineConfig,
@@ -787,6 +788,11 @@ def cmd_closed_loop(args):
             fused_ln_gelu=args.fused_ln_gelu,
         ),
         unet=UNetConfig(quant=args.unet_quant),
+        feat_decoder=FeatDecoderConfig(
+            hidden=args.feat_hidden,
+            temporal_blocks=args.feat_temporal_blocks,
+            attn_layers=args.feat_attn_layers,
+        ),
         train=TrainConfig(model_lr=args.model_lr),
         loss=LossConfig(masking=MaskingConvention(args.loss_masking)),
     )
@@ -1214,6 +1220,19 @@ def main(argv=None):
              "share one compiled train step",
     )
     p.add_argument("--artifact-limit", type=int, default=8)
+    p.add_argument(
+        "--feat-hidden", type=int, default=512,
+        help="--decoder features: decoder hidden width",
+    )
+    p.add_argument(
+        "--feat-temporal-blocks", type=int, default=2,
+        help="--decoder features: k5 residual conv blocks over frames",
+    )
+    p.add_argument(
+        "--feat-attn-layers", type=int, default=0,
+        help="--decoder features: self-attention+FFN blocks after the conv "
+             "stack (global frame context; 0 = the round-4 architecture)",
+    )
     _mesh_flags(p)
     p.set_defaults(fn=cmd_closed_loop)
 

@@ -274,6 +274,13 @@ class FeatDecoderConfig:
     frames: int = 249
     hidden: int = 512
     dtype: str = "float32"
+    # capacity knobs (round-5 feature-decoder study): defaults reproduce
+    # the round-4 architecture (and its param tree / checkpoints) exactly.
+    temporal_blocks: int = 2  # k5 residual conv blocks over the frame axis
+    attn_layers: int = 0  # pre-LN self-attention+FFN blocks over frames
+    # after the conv stack — the per-frame MLP + local convs cannot move
+    # information across distant frames; attention can
+    attn_heads: int = 8
 
 
 @dataclass(frozen=True)

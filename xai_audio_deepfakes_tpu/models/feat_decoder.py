@@ -44,12 +44,27 @@ class FeatureMaskDecoder(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="in_ln")(x).astype(dt)
         x = nn.Dense(cfg.hidden, dtype=dt, name="proj_in")(x)
         x = jax.nn.gelu(x)
-        # temporal context mixing: two conv1d blocks over the frame axis
-        for i, k in enumerate((5, 5)):
+        # temporal context mixing: residual conv1d blocks over the frame axis
+        for i in range(cfg.temporal_blocks):
+            k = 5
             h = nn.Conv(cfg.hidden, (k,), padding=((k // 2, k // 2),), dtype=dt,
                         name=f"tconv_{i}")(x)
             h = jax.nn.gelu(h)
             x = x + h
+        # optional global context: pre-LN self-attention + FFN blocks (the
+        # round-5 capacity study — local convs cannot move band evidence
+        # across distant frames; zero layers reproduces the round-4 tree)
+        for i in range(cfg.attn_layers):
+            y = nn.LayerNorm(dtype=jnp.float32, name=f"attn_ln_{i}")(x).astype(dt)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.attn_heads, dtype=dt, name=f"attn_{i}"
+            )(y, y)
+            x = x + y
+            y = nn.LayerNorm(dtype=jnp.float32, name=f"ffn_ln_{i}")(x).astype(dt)
+            y = nn.Dense(cfg.hidden * 4, dtype=dt, name=f"ffn_in_{i}")(y)
+            y = jax.nn.gelu(y)
+            y = nn.Dense(cfg.hidden, dtype=dt, name=f"ffn_out_{i}")(y)
+            x = x + y
         x = nn.LayerNorm(dtype=jnp.float32, name="out_ln")(x).astype(dt)
         prof = nn.Dense(cfg.freq_bins, dtype=dt, name="freq_head")(x)  # [B, T, F]
         mask = jax.nn.sigmoid(prof.astype(jnp.float32))
