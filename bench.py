@@ -294,7 +294,11 @@ def _finish(diag: dict, result: dict | None, t0: float) -> int:
         return 0
     # total failure: the one stdout line is still parseable JSON, carrying
     # the last phase reached and the error tail instead of a number
-    attempts = diag["preflight"] + diag["attempts"]
+    attempts = [
+        a
+        for a in diag["preflight"] + diag["attempts"]
+        if not a.get("ok")
+    ]
     last = attempts[-1] if attempts else {}
     print(
         json.dumps(
