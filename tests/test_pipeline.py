@@ -73,6 +73,48 @@ def test_explain_unet_shapes(pipe, params, wav):
         assert np.all(np.asarray(probs) > 0) and np.all(np.asarray(probs) < 1)
 
 
+def test_int8_static_pipeline_calibrate_and_explain(wav):
+    """calibrate_quant attaches quant_scales; the static explain runs, its
+    masks/waveforms are bit-identical to bf16 (embedder quant only moves
+    probabilities), and probabilities stay close on held-out input."""
+    import dataclasses
+
+    base = tiny_config()
+    ref_pipe = ADDvisorPipeline(base)
+    params = ref_pipe.init_params(jax.random.PRNGKey(0))
+    ref = ref_pipe.explain(params, wav)
+
+    cfg = dataclasses.replace(
+        base, embedder=dataclasses.replace(base.embedder, quant="int8-static")
+    )
+    pipe = ADDvisorPipeline(cfg)
+    rng = np.random.default_rng(7)
+    calib = jnp.asarray(
+        rng.standard_normal((4, base.audio.num_samples)).astype(np.float32) * 0.1
+    )
+    p = pipe.calibrate_quant(params, calib)
+    # unrolled stack runs the output_layer-truncated prefix; scales are
+    # per-channel per site
+    n_run = min(base.embedder.output_layer, base.embedder.num_layers)
+    assert p["quant_scales"]["qkv"].shape == (n_run, base.embedder.hidden_size)
+    assert p["quant_scales"]["ffn_out"].shape == (
+        n_run, base.embedder.intermediate_size
+    )
+    out = pipe.jit_explain(decoder="unet")(p, wav)
+    # embedder quant cannot touch the mask (magnitude -> UNet); the only
+    # deltas are jit-vs-eager fusion rounding at f32 ulp level
+    np.testing.assert_allclose(
+        np.asarray(out.mask), np.asarray(ref.mask), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.relevant_wav), np.asarray(ref.relevant_wav), atol=1e-5
+    )
+    for k in ("probs_clean", "probs_relevant", "probs_irrelevant"):
+        d = float(np.max(np.abs(np.asarray(getattr(out, k))
+                                - np.asarray(getattr(ref, k)))))
+        assert d < 0.2, (k, d)
+
+
 def test_linear_masking_decomposition(pipe, params, wav):
     """With LINEAR masking, relevant + irrelevant spectrograms sum to the
     original, so the two inverted waveforms sum to the iSTFT of the original

@@ -87,6 +87,30 @@ def _build_pipeline(args):
 
         sd = torch.load(args.unet_pth, map_location="cpu")
         params["unet"] = unet_from_torch(sd)
+    if cfg.embedder.quant == "int8-static":
+        # calibrate AFTER every weight import (the scales depend on the
+        # final weights): --calib-wavs corpus if given, else a
+        # deterministic synthetic speech batch
+        import glob as _glob
+
+        import jax.numpy as jnp
+
+        from xai_audio_deepfakes_tpu.data.synthetic import speechlike_clips
+
+        calib_dir = getattr(args, "calib_wavs", "")
+        if calib_dir:
+            from xai_audio_deepfakes_tpu.data.io import load_audio
+
+            paths = sorted(_glob.glob(os.path.join(calib_dir, "*.wav")))[:64]
+            if not paths:
+                raise SystemExit(f"--calib-wavs {calib_dir}: no .wav files")
+            wavs = np.stack([load_audio(p)[0] for p in paths])
+        else:
+            wavs = speechlike_clips(
+                np.random.default_rng(args.seed), 16,
+                cfg.audio.num_samples, cfg.stft.sample_rate,
+            )
+        params = pipe.calibrate_quant(params, jnp.asarray(wavs))
     return pipe, params
 
 
@@ -131,9 +155,19 @@ def _common(p: argparse.ArgumentParser):
              "elementwise chains (faster steps, ~1-2 GB more HBM)",
     )
     p.add_argument(
-        "--quant", default="none", choices=["none", "int8"],
+        "--quant", default="none", choices=["none", "int8", "int8-static"],
         help="int8: embedder transformer matmuls on the int8 MXU "
-             "(~2x bf16 peak; serving only)",
+             "(~2x bf16 peak; serving only). int8-static: same matmuls "
+             "with CALIBRATED per-tensor activation scales instead of "
+             "per-token dynamic ones — measured +9%% end-to-end "
+             "(250.5 vs 229.7 clips/s, docs/performance.md); calibrates "
+             "at startup on --calib-wavs or a synthetic speech batch",
+    )
+    p.add_argument(
+        "--calib-wavs", default="",
+        help="--quant int8-static: directory of wavs to calibrate the "
+             "static activation scales on (first 64 used); default: a "
+             "deterministic synthetic speech batch",
     )
     p.add_argument(
         "--gelu", default="exact", choices=["exact", "tanh"],

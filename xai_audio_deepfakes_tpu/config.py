@@ -182,6 +182,12 @@ class EmbedderConfig:
     # activation scales and per-channel weight scales computed in-graph; the
     # param tree stays f32, so every weight-import path works unchanged.
     # Serving-only knob (quantization is not differentiated through).
+    # "int8-static": same matmuls, but activation scales are CALIBRATED
+    # per-tensor constants (pipeline.calibrate_quant -> params
+    # ["quant_scales"] [L, 4]) instead of per-token reductions — removes a
+    # whole max-reduce pass over each quantize site's input per layer;
+    # measured +9% end-to-end serving (docs/performance.md round 5).
+    # Uncalibrated int8-static falls back to dynamic scales.
     quant_conv: str = "none"  # "int8": the conv frontend's >=64-channel
     # layers (conv_1..conv_6 — conv_0 has Cin=1 and a quantize pass over
     # its L=80k input costs more HBM than the whole conv saves) run as

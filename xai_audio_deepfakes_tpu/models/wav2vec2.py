@@ -338,7 +338,11 @@ class PositionalConvEmbedding(nn.Module):
 class Int8Dense(nn.Module):
     """Drop-in Dense running its matmul as int8 x int8 -> int32 on the MXU
     (`ops/quant.py`). Param tree ("kernel" [K,N] f32, "bias" [N] f32) is
-    identical to nn.Dense, so checkpoints and HF imports work unchanged."""
+    identical to nn.Dense, so checkpoints and HF imports work unchanged.
+
+    sx with ndim == 1 means STATIC per-channel scales (shape [K]): the
+    scales fold into the weight (`int8_matmul_static`); any other shape is
+    the dynamic per-token convention."""
 
     features: int
     dtype: Any
@@ -347,6 +351,7 @@ class Int8Dense(nn.Module):
     def __call__(self, x, xq=None, sx=None):
         from xai_audio_deepfakes_tpu.ops.quant import (
             int8_matmul_prequant,
+            int8_matmul_static,
             quantize_symmetric,
         )
 
@@ -361,6 +366,8 @@ class Int8Dense(nn.Module):
         )
         if xq is None:
             xq, sx = quantize_symmetric(x, axis=-1)
+        if sx.ndim == 1:
+            return (int8_matmul_static(xq, sx, kernel) + bias).astype(self.dtype)
         return (int8_matmul_prequant(xq, sx, kernel) + bias).astype(self.dtype)
 
 
@@ -414,11 +421,19 @@ class HeadDense(nn.Module):
         if self.quant in ("int8", "int8-static"):
             from xai_audio_deepfakes_tpu.ops.quant import (
                 int8_matmul_prequant,
+                int8_matmul_static,
                 quantize_symmetric,
             )
 
             if xq is None:
                 xq, sx = quantize_symmetric(x, axis=-1)
+            if sx.ndim == 1:
+                # static per-channel scales fold into the (already padded)
+                # kernel — pad rows multiply a 1e-12-floored scale by zero
+                # weights, so they stay exact zeros through quantization
+                return (
+                    int8_matmul_static(xq, sx, kernel) + bias
+                ).astype(self.dtype)
             return (int8_matmul_prequant(xq, sx, kernel) + bias).astype(self.dtype)
         return (
             x.astype(self.dtype) @ kernel.astype(self.dtype)
@@ -434,20 +449,24 @@ class EncoderLayer(nn.Module):
     einsums stay in f32/bf16 (they carry ~t/(6h) of the layer's FLOPs).
 
     cfg.quant == "int8-static" replaces the DYNAMIC per-token activation
-    scales with CALIBRATED per-tensor scales passed via `act_scales` [4]
-    (site order: qkv-LN output, attention context, ffn-LN output, GELU
-    output) — the quantize step becomes a single read+write pass with no
-    per-token max-reduce and the matmul epilogue's rescale a scalar
-    broadcast. Calibrate with `collect_absmax=True`, which returns
-    (y, absmax[4]); scales = absmax / 127 over a calibration corpus
-    (`calibrate_act_scales`). With act_scales=None, int8-static falls
-    back to dynamic scales (uncalibrated serving still works)."""
+    scales with CALIBRATED per-CHANNEL scales passed via `act_scales`, a
+    dict {"qkv", "ctx", "ffn_in", "ffn_out"} of f32 [C_site] vectors (one
+    scale per contracted channel). The quantize step becomes a single
+    read+write pass with no per-token max-reduce, and the scales fold
+    into the weights (`int8_matmul_static`) at the already-paid in-graph
+    weight-quantize cost. Per-channel (not per-tensor) matters: a single
+    tensor-wide scale measured probability drift up to 0.3 at full
+    geometry (docs/performance.md round 5). Calibrate with
+    `collect_absmax=True`, which returns (y, {site: absmax[C]});
+    scales = absmax / 127 over a calibration corpus. With
+    act_scales=None, int8-static falls back to dynamic scales
+    (uncalibrated serving still works)."""
 
     cfg: EmbedderConfig
 
     @nn.compact
     def __call__(self, x, act_scales=None, collect_absmax: bool = False):
-        # x: [B, T, H]; act_scales: [4] f32 static scales or None
+        # x: [B, T, H]; act_scales: {site: [C_site] f32} or None
         cfg = self.cfg
         h = cfg.hidden_size
         nh = cfg.num_heads
@@ -460,17 +479,19 @@ class EncoderLayer(nn.Module):
                 "sites; set cfg.quant to 'int8' or 'int8-static'"
             )
         use_static = cfg.quant == "int8-static" and act_scales is not None
-        absmax: list = []
+        absmax: dict = {}
 
-        def _site(t, i):
-            """Quantize activation tensor t at site i: int8 values + scale
-            (per-token dynamic, or the calibrated static scalar)."""
+        def _site(t, name):
+            """Quantize activation tensor t at the named site: int8 values
+            + scale (per-token dynamic, or calibrated per-channel [C])."""
             from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
 
             if collect_absmax:
-                absmax.append(jnp.max(jnp.abs(t.astype(jnp.float32))))
+                absmax[name] = jnp.max(
+                    jnp.abs(t.astype(jnp.float32)), axis=(0, 1)
+                )
             if use_static:
-                s = jnp.maximum(act_scales[i], 1e-12)
+                s = jnp.maximum(act_scales[name], 1e-12)
                 tq = jnp.clip(
                     jnp.round(t.astype(jnp.float32) / s), -127.0, 127.0
                 ).astype(jnp.int8)
@@ -503,7 +524,7 @@ class EncoderLayer(nn.Module):
             if quant:
                 # q/k/v read the same LN output: one shared activation-
                 # quantize pass instead of three (the quantize is HBM-bound)
-                yq, sy = _site(y, 0)
+                yq, sy = _site(y, "qkv")
                 q = proj("q_proj")(y, yq, sy) * (hd**-0.5)
                 k = proj("k_proj")(y, yq, sy)
                 v = proj("v_proj")(y, yq, sy)
@@ -513,13 +534,13 @@ class EncoderLayer(nn.Module):
                 v = proj("v_proj")(y)
             ctx = attention(q, k, v, nh, interpret=cfg.fused_interpret)  # [B, T, NH*HDP]
             if quant:
-                cq, cs = _site(ctx, 1)
+                cq, cs = _site(ctx, "ctx")
                 x = residual + proj("out_proj", pad_axis=0)(ctx, cq, cs)
             else:
                 x = residual + proj("out_proj", pad_axis=0)(ctx)
         else:
             if quant:
-                yq, sy = _site(y, 0)
+                yq, sy = _site(y, "qkv")
                 q = dense(h, "q_proj")(y, yq, sy) * (hd**-0.5)
                 k = dense(h, "k_proj")(y, yq, sy)
                 v = dense(h, "v_proj")(y, yq, sy)
@@ -535,17 +556,17 @@ class EncoderLayer(nn.Module):
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h)
             if quant:
-                cq, cs = _site(ctx, 1)
+                cq, cs = _site(ctx, "ctx")
                 x = residual + dense(h, "out_proj")(ctx, cq, cs)
             else:
                 x = residual + dense(h, "out_proj")(ctx)
 
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ffn_ln")(x)
         if quant:
-            y1q, s1 = _site(y, 2)
+            y1q, s1 = _site(y, "ffn_in")
             y = dense(cfg.intermediate_size, "ffn_in")(y, y1q, s1)
             y = _gelu(y, cfg.gelu)
-            gq, s3 = _site(y, 3)
+            gq, s3 = _site(y, "ffn_out")
             y = dense(h, "ffn_out")(y, gq, s3)
         else:
             y = dense(cfg.intermediate_size, "ffn_in")(y)
@@ -553,7 +574,7 @@ class EncoderLayer(nn.Module):
             y = dense(h, "ffn_out")(y)
         out = x + y
         if collect_absmax:
-            return out, jnp.stack(absmax)
+            return out, absmax
         return out
 
 
@@ -612,8 +633,11 @@ class Wav2Vec2Encoder(nn.Module):
     def __call__(self, wav, collect_hidden: bool = False,
                  act_scales=None, calibrate: bool = False):
         # act_scales: [num_layers, 4] calibrated static activation scales
-        # (cfg.quant == "int8-static"); calibrate=True returns
-        # (features, absmax [num_layers, 4]) for calibrate_act_scales.
+        # (cfg.quant == "int8-static"): act_scales is a dict
+        # {"qkv","ctx","ffn_in","ffn_out"} of [num_layers, C_site] f32;
+        # calibrate=True returns (features, {site: absmax [n_run, C_site]}).
+        # Calibrate on the SAME backend/attention mode as serving — the
+        # "ctx" site width is head-padded only on the fused-attention path.
         cfg = self.cfg
         if act_scales is not None and cfg.quant != "int8-static":
             raise ValueError(
@@ -638,7 +662,8 @@ class Wav2Vec2Encoder(nn.Module):
                 length=cfg.num_layers,
             )(cfg, collect=collect, calibrate=calibrate, name="layers")
             first = x
-            # inputs: [L, B, T, H] if collect; site_absmax: [L, 4] if calibrate
+            # inputs: [L, B, T, H] if collect; site_absmax: {site: [L, C]}
+            # if calibrate (nn.scan stacks each pytree leaf along L)
             x, (inputs, site_absmax) = scanned(x, act_scales)
             if collect:
                 hidden_states = (
@@ -660,7 +685,11 @@ class Wav2Vec2Encoder(nn.Module):
                 layer_cls = _remat(EncoderLayer, cfg)
             absmaxes = []
             for i in range(n_run):
-                scales_i = None if act_scales is None else act_scales[i]
+                scales_i = (
+                    None
+                    if act_scales is None
+                    else jax.tree.map(lambda a: a[i], act_scales)
+                )
                 if calibrate:
                     x, am = layer_cls(cfg, name=f"layer_{i}")(
                         x, scales_i, collect_absmax=True
@@ -670,7 +699,10 @@ class Wav2Vec2Encoder(nn.Module):
                     x = layer_cls(cfg, name=f"layer_{i}")(x, scales_i)
                 hidden_states.append(x)
             if calibrate:
-                site_absmax = jnp.stack(absmaxes)
+                # stack per-layer dicts leafwise -> {site: [n_run, C]}
+                site_absmax = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *absmaxes
+                )
 
         out = hidden_states[min(cfg.output_layer, len(hidden_states) - 1)]
         if cfg.final_layer_norm:

@@ -49,6 +49,30 @@ def int8_matmul_prequant(
     return acc.astype(jnp.float32) * (sx * sw)
 
 
+def int8_matmul_static(
+    xq: jnp.ndarray, s_act: jnp.ndarray, w: jnp.ndarray
+) -> jnp.ndarray:
+    """STATIC per-channel activation scales, folded into the weight.
+
+    xq int8 [..., K] pre-quantized as round(x / s_act) with CALIBRATED
+    s_act f32 [K] (one scale per contracted channel, not per token):
+        y = sum_k xq[k] * s_act[k] * w[k, n]
+          = (xq @ quantize(w * s_act[:, None])) * sw
+    The fold rides the existing O(K*N) in-graph weight quantize, so
+    relative to dynamic int8 this removes the whole per-token max-reduce
+    pass over the activation AND the per-token rescale in the epilogue —
+    while keeping per-CHANNEL activation resolution (a per-tensor static
+    scale measured probability drift up to 0.3 at full geometry;
+    docs/performance.md round 5)."""
+    wq, sw = quantize_symmetric(w * s_act[:, None], axis=0)  # [K,N], [1,N]
+    acc = jax.lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * sw
+
+
 def int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """x [..., K] (any float dtype) @ w [K, N] (f32) -> [..., N] f32.
 

@@ -129,15 +129,18 @@ class ADDvisorPipeline:
     def calibrate_quant(
         self, params: dict, wavs: jnp.ndarray, batch_size: int = 16
     ) -> dict:
-        """Calibrate static per-tensor activation scales for the embedder's
+        """Calibrate static PER-CHANNEL activation scales for the embedder's
         int8 matmul sites (cfg.embedder.quant == "int8-static") on a batch
         of representative clips. Returns a new params dict carrying a
-        "quant_scales" [num_layers, 4] entry that `features` passes into
-        the encoder; uncalibrated int8-static serving falls back to
-        dynamic per-token scales. The scales replace the per-token
-        max-reduce of dynamic quantization with one calibrated scalar per
-        site (max-abs over the corpus / 127; outliers beyond it saturate
-        at +-127, standard static-quant behavior)."""
+        "quant_scales" entry ({site: [num_layers, C_site]} pytree) that
+        `features` passes into the encoder; uncalibrated int8-static
+        serving falls back to dynamic per-token scales. The scales remove
+        the per-token max-reduce of dynamic quantization (they fold into
+        the weights, `ops/quant.int8_matmul_static`); per-channel maxima
+        over the corpus / 127, outliers beyond them saturate at +-127.
+        Calibrate on the same backend/attention mode as serving — the
+        "ctx" site width is head-padded only on the fused-attention
+        (TPU) path."""
         if self.cfg.embedder.quant not in ("int8", "int8-static"):
             raise ValueError(
                 "calibrate_quant needs an int8 embedder config "
@@ -155,9 +158,11 @@ class ADDvisorPipeline:
         # the ragged tail
         for i in range(0, n - bs + 1, bs):
             m = fn(params["encoder"], wavs[i : i + bs])
-            absmax = m if absmax is None else jnp.maximum(absmax, m)
+            absmax = (
+                m if absmax is None else jax.tree.map(jnp.maximum, absmax, m)
+            )
         out = dict(params)
-        out["quant_scales"] = absmax / 127.0
+        out["quant_scales"] = jax.tree.map(lambda a: a / 127.0, absmax)
         return out
 
     def classify_features(self, params: dict, feats: jnp.ndarray):
