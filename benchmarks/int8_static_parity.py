@@ -58,15 +58,20 @@ def main() -> None:
 
     outs = {}
     params = None
-    for quant in ("none", "int8", "int8-static"):
+    for mode, quant, stat in (
+        ("none", "none", None),
+        ("int8", "int8", None),
+        ("static-max", "int8-static", "max"),
+        ("static-p999", "int8-static", "p999"),
+    ):
         pipe = build(quant)
         if params is None:
             params = pipe.init_params(jax.random.PRNGKey(0))
         p = params
-        if quant == "int8-static":
-            p = pipe.calibrate_quant(params, calib)
+        if stat is not None:
+            p = pipe.calibrate_quant(params, calib, stat=stat)
         out = pipe.jit_explain(decoder="unet")(p, held_out)
-        outs[quant] = jax.tree.map(np.asarray, out)
+        outs[mode] = jax.tree.map(np.asarray, out)
 
     def prob_delta(a, b):
         return {
@@ -80,15 +85,17 @@ def main() -> None:
     mask_identical = {
         q: bool(np.array_equal(outs["none"].mask, outs[q].mask))
         and bool(np.array_equal(outs["none"].relevant_wav, outs[q].relevant_wav))
-        for q in ("int8", "int8-static")
+        for q in ("int8", "static-max", "static-p999")
     }
     print(
         json.dumps(
             {
                 "batch": batch,
                 "held_out": True,
-                "static_vs_dynamic": prob_delta("int8-static", "int8"),
-                "static_vs_bf16": prob_delta("int8-static", "none"),
+                "static_max_vs_dynamic": prob_delta("static-max", "int8"),
+                "static_p999_vs_dynamic": prob_delta("static-p999", "int8"),
+                "static_max_vs_bf16": prob_delta("static-max", "none"),
+                "static_p999_vs_bf16": prob_delta("static-p999", "none"),
                 "dynamic_vs_bf16": prob_delta("int8", "none"),
                 "mask_and_wav_identical_to_bf16": mask_identical,
                 "device": str(jax.devices()[0]),

@@ -294,12 +294,17 @@ def test_int8_static_calibrated_close_to_dynamic(rng):
     enc_st = Wav2Vec2Encoder(dataclasses.replace(base, quant="int8-static"))
     _, absmax = enc_st.apply(params, wav, calibrate=True)
     h, inter = base.hidden_size, base.intermediate_size
+    # [n_run, 2, C]: per-channel (max, p999) per site
     assert {k: v.shape for k, v in absmax.items()} == {
-        "qkv": (n_run, h), "ctx": (n_run, h),
-        "ffn_in": (n_run, h), "ffn_out": (n_run, inter),
+        "qkv": (n_run, 2, h), "ctx": (n_run, 2, h),
+        "ffn_in": (n_run, 2, h), "ffn_out": (n_run, 2, inter),
     }
     assert all(np.all(np.asarray(v) > 0) for v in absmax.values())
-    scales = jax.tree.map(lambda a: a / 127.0, absmax)
+    # p999 <= max, per channel
+    for v in absmax.values():
+        a = np.asarray(v)
+        assert np.all(a[:, 1, :] <= a[:, 0, :] + 1e-6)
+    scales = jax.tree.map(lambda a: a[:, 0, :] / 127.0, absmax)
 
     out = np.asarray(jax.jit(enc_st.apply)(params, wav, act_scales=scales))
     a, b = dyn.ravel(), out.ravel()
@@ -320,7 +325,7 @@ def test_int8_static_calibrated_close_to_dynamic(rng):
         dataclasses.replace(base, quant="int8-static", scan_layers=True)
     )
     _, absmax_s = enc_scan.apply({"params": p}, wav, calibrate=True)
-    assert absmax_s["qkv"].shape == (base.num_layers, h)
+    assert absmax_s["qkv"].shape == (base.num_layers, 2, h)
     for k in absmax:
         # scan reassociates the f32 reductions; maxima agree to rounding
         np.testing.assert_allclose(
@@ -329,7 +334,7 @@ def test_int8_static_calibrated_close_to_dynamic(rng):
     out_s = np.asarray(
         jax.jit(enc_scan.apply)(
             {"params": p}, wav,
-            act_scales=jax.tree.map(lambda a: a / 127.0, absmax_s),
+            act_scales=jax.tree.map(lambda a: a[:, 0, :] / 127.0, absmax_s),
         )
     )
     # not elementwise: scan's different f32 accumulation order flips a few

@@ -487,8 +487,19 @@ class EncoderLayer(nn.Module):
             from xai_audio_deepfakes_tpu.ops.quant import quantize_symmetric
 
             if collect_absmax:
-                absmax[name] = jnp.max(
-                    jnp.abs(t.astype(jnp.float32)), axis=(0, 1)
+                t32 = jnp.abs(t.astype(jnp.float32))
+                # [2, C]: per-channel max AND 99.9th percentile over the
+                # batch's tokens. calibrate_quant picks one: max never
+                # saturates the calibration set; p999 gives ordinary
+                # tokens finer resolution while the token-level outliers
+                # wav2vec2 activations carry saturate at +-127
+                absmax[name] = jnp.stack(
+                    [
+                        jnp.max(t32, axis=(0, 1)),
+                        jnp.quantile(
+                            t32.reshape(-1, t32.shape[-1]), 0.999, axis=0
+                        ),
+                    ]
                 )
             if use_static:
                 s = jnp.maximum(act_scales[name], 1e-12)

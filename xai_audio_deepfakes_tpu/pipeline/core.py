@@ -127,7 +127,11 @@ class ADDvisorPipeline:
         return self.encoder.apply(params["encoder"], norm, **kw)
 
     def calibrate_quant(
-        self, params: dict, wavs: jnp.ndarray, batch_size: int = 16
+        self,
+        params: dict,
+        wavs: jnp.ndarray,
+        batch_size: int = 16,
+        stat: str = "p999",
     ) -> dict:
         """Calibrate static PER-CHANNEL activation scales for the embedder's
         int8 matmul sites (cfg.embedder.quant == "int8-static") on a batch
@@ -136,8 +140,12 @@ class ADDvisorPipeline:
         `features` passes into the encoder; uncalibrated int8-static
         serving falls back to dynamic per-token scales. The scales remove
         the per-token max-reduce of dynamic quantization (they fold into
-        the weights, `ops/quant.int8_matmul_static`); per-channel maxima
-        over the corpus / 127, outliers beyond them saturate at +-127.
+        the weights, `ops/quant.int8_matmul_static`); `stat` picks the
+        per-channel statistic / 127: "max" (nothing in the calibration
+        set saturates) or "p999" (default — wav2vec2 activations carry
+        token-level outliers, and a max-based scale coarsens every
+        ordinary token to protect them; the 99.9th percentile restores
+        ordinary-token resolution and lets outliers saturate at +-127).
         Calibrate on the same backend/attention mode as serving — the
         "ctx" site width is head-padded only on the fused-attention
         (TPU) path."""
@@ -146,6 +154,7 @@ class ADDvisorPipeline:
                 "calibrate_quant needs an int8 embedder config "
                 f"(got quant={self.cfg.embedder.quant!r})"
             )
+        idx = {"max": 0, "p999": 1}[stat]
         fn = jax.jit(
             lambda p, w: self.encoder.apply(
                 p, zero_mean_unit_var_norm(w), calibrate=True
@@ -162,7 +171,10 @@ class ADDvisorPipeline:
                 m if absmax is None else jax.tree.map(jnp.maximum, absmax, m)
             )
         out = dict(params)
-        out["quant_scales"] = jax.tree.map(lambda a: a / 127.0, absmax)
+        # leaves are [n_layers, 2, C] (stat stacked per site); select stat
+        out["quant_scales"] = jax.tree.map(
+            lambda a: a[:, idx, :] / 127.0, absmax
+        )
         return out
 
     def classify_features(self, params: dict, feats: jnp.ndarray):
