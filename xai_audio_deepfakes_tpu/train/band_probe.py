@@ -43,25 +43,29 @@ def fit_softmax_probe(
     yj = jnp.asarray(y, dtype=jnp.int32)
     d = x.shape[1]
 
-    def objective(params):
-        logits = xj @ params["weight"] + params["bias"]
-        nll = -jnp.sum(
-            jax.nn.log_softmax(logits)[jnp.arange(yj.shape[0]), yj]
-        )
-        reg = 0.5 * l2 * jnp.sum(params["weight"] ** 2)
-        return nll + reg
-
     params = {
         "weight": jnp.zeros((d, n_classes), jnp.float32),
         "bias": jnp.zeros((n_classes,), jnp.float32),
     }
     solver = optax.lbfgs()
     opt_state = solver.init(params)
-    value_and_grad = optax.value_and_grad_from_state(objective)
 
+    # the data rides as jit ARGUMENTS, never a closure: a closed-over
+    # feature matrix becomes a program constant, and at per-frame scale
+    # (e.g. 72k x 1920 f32) that blows the remote-compile relay's request
+    # limit (observed: HTTP 413 on the tunneled TPU)
     @jax.jit
-    def step(params, opt_state):
-        value, grad = value_and_grad(params, state=opt_state)
+    def step(params, opt_state, xj, yj):
+        def objective(p):
+            logits = xj @ p["weight"] + p["bias"]
+            nll = -jnp.sum(
+                jax.nn.log_softmax(logits)[jnp.arange(yj.shape[0]), yj]
+            )
+            return nll + 0.5 * l2 * jnp.sum(p["weight"] ** 2)
+
+        value, grad = optax.value_and_grad_from_state(objective)(
+            params, state=opt_state
+        )
         updates, opt_state = solver.update(
             grad, opt_state, params, value=value, grad=grad,
             value_fn=objective,
@@ -70,7 +74,7 @@ def fit_softmax_probe(
         return params, opt_state, value, optax.global_norm(grad)
 
     for _ in range(max_iter):
-        params, opt_state, value, gnorm = step(params, opt_state)
+        params, opt_state, value, gnorm = step(params, opt_state, xj, yj)
         if float(gnorm) < tol * max(1.0, float(jnp.abs(value))):
             break
     return jax.tree.map(np.asarray, params)
