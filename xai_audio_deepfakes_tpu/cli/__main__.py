@@ -30,6 +30,7 @@ def _build_pipeline(args):
 
     from xai_audio_deepfakes_tpu.config import (
         EmbedderConfig,
+        FeatDecoderConfig,
         PipelineConfig,
         STFTConfig,
         TrainConfig,
@@ -49,6 +50,11 @@ def _build_pipeline(args):
             fused_ln_gelu=getattr(args, "fused_ln_gelu", False),
         ),
         unet=UNetConfig(quant=getattr(args, "unet_quant", "none")),
+        feat_decoder=FeatDecoderConfig(
+            hidden=getattr(args, "feat_hidden", 512),
+            temporal_blocks=getattr(args, "feat_temporal_blocks", 2),
+            attn_layers=getattr(args, "feat_attn_layers", 0),
+        ),
         train=TrainConfig(
             target_quant=getattr(args, "target_quant", "none"),
             target_gelu=getattr(args, "target_gelu", "exact"),
@@ -208,6 +214,23 @@ def _common(p: argparse.ArgumentParser):
     )
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--out", default="artifacts")
+    # legacy feature-decoder capacity knobs (round-5 study): must match
+    # between training (closed-loop) and any command restoring a
+    # `--decoder features` checkpoint, so they live on every pipeline
+    # builder. Defaults reproduce the round-4 architecture/tree.
+    p.add_argument(
+        "--feat-hidden", type=int, default=512,
+        help="feature decoder hidden width",
+    )
+    p.add_argument(
+        "--feat-temporal-blocks", type=int, default=2,
+        help="feature decoder: k5 residual conv blocks over frames",
+    )
+    p.add_argument(
+        "--feat-attn-layers", type=int, default=0,
+        help="feature decoder: self-attention+FFN blocks after the conv "
+             "stack (global frame context; 0 = the round-4 architecture)",
+    )
 
 
 def _mesh_flags(p: argparse.ArgumentParser):
@@ -1254,19 +1277,6 @@ def main(argv=None):
              "share one compiled train step",
     )
     p.add_argument("--artifact-limit", type=int, default=8)
-    p.add_argument(
-        "--feat-hidden", type=int, default=512,
-        help="--decoder features: decoder hidden width",
-    )
-    p.add_argument(
-        "--feat-temporal-blocks", type=int, default=2,
-        help="--decoder features: k5 residual conv blocks over frames",
-    )
-    p.add_argument(
-        "--feat-attn-layers", type=int, default=0,
-        help="--decoder features: self-attention+FFN blocks after the conv "
-             "stack (global frame context; 0 = the round-4 architecture)",
-    )
     _mesh_flags(p)
     p.set_defaults(fn=cmd_closed_loop)
 
