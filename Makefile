@@ -18,7 +18,7 @@
 
 FAST_MODULES = tests/test_stft.py tests/test_ops.py tests/test_data.py \
   tests/test_loss_metrics.py tests/test_closed_loop.py tests/test_pipeline.py \
-  tests/test_pallas.py
+  tests/test_pallas.py tests/test_band_probe.py
 
 .PHONY: test-fast test-full test-full-sharded
 
