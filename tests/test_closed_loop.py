@@ -244,6 +244,31 @@ def test_anyband_loop_masks_track_per_clip_band():
     )
 
 
+@pytest.mark.e2e
+def test_l1_warmup_ramps_the_traced_scale():
+    """--l1-warmup-epochs: the first epochs run at reduced L1 pressure and
+    the ramp reaches the full scale by the warmup horizon. Identical
+    corpora/seeds, so the logged l1 term (scale * mean|mask|) of the
+    warmed-up run must start well below the immediate-full-pressure run
+    and converge toward it after the ramp."""
+    from xai_audio_deepfakes_tpu.config import TrainConfig
+    from xai_audio_deepfakes_tpu.train.closed_loop import run_closed_loop
+
+    cfg = tiny_config().replace(train=TrainConfig(model_lr=3e-3))
+    kw = dict(
+        seed=0, n_train=8, n_eval=4, epochs=6, batch_size=4,
+        noise_rms=0.8, anyband=True, band_width=BW, f_max=FMAX,
+        l1_scale=4.0,
+    )
+    full = run_closed_loop(cfg, **kw)["train_log"]
+    warm = run_closed_loop(cfg, **kw, l1_warmup_epochs=4)["train_log"]
+    # epoch 1: warmup runs at 1 + 3*(1/4) = 1.75 vs 4.0 — the l1 term must
+    # reflect the reduced multiplier (masks are near-identical at epoch 1)
+    assert warm[0]["l1"] < 0.6 * full[0]["l1"], (warm[0], full[0])
+    # past the horizon both run at the full scale
+    assert warm[-1]["l1"] > 0.5 * full[-1]["l1"]
+
+
 def aligned_features_config():
     """Tiny config satisfying the frame-alignment trick (SSL frames == STFT
     frames, the full-size hop-322 invariant, SURVEY §2.3): 7916 samples,

@@ -865,6 +865,7 @@ def cmd_closed_loop(args):
         # traced, so it shares one compiled train step with any other
         # scale (incl. the benchmarks/l1_sweep.py points)
         l1_scale=args.l1_scale,
+        l1_warmup_epochs=args.l1_warmup_epochs,
     )
     eval_bands = res.get("eval_bands_hz")
     masks, mags = res.pop("final_masks"), res.pop("final_magnitude")
@@ -1275,6 +1276,13 @@ def main(argv=None):
              "docs/performance.md). The default stays 1.0 only for "
              "reference parity. Traced, not baked: different values "
              "share one compiled train step",
+    )
+    p.add_argument(
+        "--l1-warmup-epochs", type=int, default=0,
+        help="ramp --l1-scale linearly from 1.0 (reference formula) over "
+             "this many epochs — stabilizes large-corpus runs where full "
+             "pressure from step 0 makes l_out oscillate (round-5 4x-scale "
+             "finding); host-side scalar swap, zero recompiles",
     )
     p.add_argument("--artifact-limit", type=int, default=8)
     _mesh_flags(p)

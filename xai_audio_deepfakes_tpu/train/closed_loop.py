@@ -163,6 +163,7 @@ def run_closed_loop(
     f_max: float = 8000.0,
     decoder: str = "unet",
     l1_scale: float | None = None,
+    l1_warmup_epochs: int = 0,
 ) -> dict:
     """The full loop. Returns a dict with detector metrics, before/after
     explanation metrics + localization + keep/flip rates, the training log,
@@ -265,6 +266,7 @@ def run_closed_loop(
         artifact_fn=artifact_fn, checkpoint_fn=checkpoint_fn, decoder=decoder,
         # traced (not baked) so an l1 sweep shares one compiled train step
         l1_scale=l1_scale,
+        l1_warmup_epochs=l1_warmup_epochs,
     )
     from xai_audio_deepfakes_tpu.train.train_addvisor import decoder_params_key
 

@@ -244,6 +244,7 @@ def train_addvisor(
     initial_state: AddvisorTrainState | None = None,
     decoder: str = "unet",
     l1_scale: float | None = None,
+    l1_warmup_epochs: int = 0,
 ) -> AddvisorTrainState:
     """Epoch loop (`train_addvisor.py:345-393`). `batches()` yields wav
     arrays [B, 80000] per epoch. Artifacts/checkpoints/logging are injected
@@ -251,7 +252,12 @@ def train_addvisor(
     (e.g. a restored checkpoint) to resume. `decoder` selects the trainable
     mask decoder ("unet" | "features", see `make_train_step`). `l1_scale`
     overrides `cfg.loss.l1_scale` as a TRACED input: sweeping it reuses one
-    compiled step (a config change would recompile per value)."""
+    compiled step (a config change would recompile per value).
+    `l1_warmup_epochs` ramps the traced scale linearly from the reference
+    formula (1.0) to `l1_scale` over that many epochs — the round-5 4x-scale
+    runs showed strong L1 pressure from step 0 makes l_out oscillate (the
+    mask collapses past the flip and recovers); the ramp is a host-side
+    scalar swap on the SAME compiled step, zero recompiles."""
     cfg = pipe.cfg
     tx_model, tx_w = make_optimizers(cfg)
     state = (
@@ -263,8 +269,18 @@ def train_addvisor(
     # arrays (shared with state.unet_params at init) survive
     state = jax.tree.map(jnp.copy, state)
     frozen = {"encoder": params["encoder"], "logreg": params["logreg"]}
-    if l1_scale is not None:
-        frozen["l1_scale"] = jnp.asarray(l1_scale, jnp.float32)
+
+    def _l1_for_epoch(e: int) -> float | None:
+        if l1_scale is None:
+            return None
+        if l1_warmup_epochs and l1_warmup_epochs > 0:
+            frac = min(1.0, (e + 1) / l1_warmup_epochs)
+            return 1.0 + (float(l1_scale) - 1.0) * frac
+        return float(l1_scale)
+
+    l1_now = _l1_for_epoch(0)
+    if l1_now is not None:
+        frozen["l1_scale"] = jnp.asarray(l1_now, jnp.float32)
 
     if mesh is not None:
         import dataclasses
@@ -438,6 +454,15 @@ def train_addvisor(
             # epochs tile wall-clock: next epoch starts where this one's
             # boundary was stamped, so per-epoch `sec` sums to total wall
             t0 = staged[-1]
+            if l1_warmup_epochs and l1_scale is not None:
+                # warmup: swap the traced scalar for the new epoch (same
+                # compiled step — l1_scale is a step INPUT, not a constant)
+                frozen = {
+                    **frozen,
+                    "l1_scale": jnp.asarray(
+                        _l1_for_epoch(epoch), jnp.float32
+                    ),
+                }
         if wav is None:  # empty epoch placeholder
             continue
         state, aux = jit_step(state, frozen, wav)
