@@ -269,6 +269,32 @@ def test_l1_warmup_ramps_the_traced_scale():
     assert warm[-1]["l1"] > 0.5 * full[-1]["l1"]
 
 
+@pytest.mark.e2e
+def test_freeze_l1_w_pins_the_l1_weight():
+    """--freeze-l1-w: through a real closed-loop run the logged w[2] stays
+    bit-constant across epochs while w[0]/w[1] keep moving (the reference
+    dynamic renormalizes all three, `train_addvisor.py:379-380`; this knob
+    removes the L1 side of the learnable-w feedback loop)."""
+    from xai_audio_deepfakes_tpu.config import TrainConfig
+    from xai_audio_deepfakes_tpu.train.closed_loop import run_closed_loop
+
+    cfg = tiny_config().replace(
+        train=TrainConfig(model_lr=3e-3, freeze_l1_weight=True)
+    )
+    log = run_closed_loop(
+        cfg, seed=0, n_train=8, n_eval=4, epochs=5, batch_size=4,
+        noise_rms=0.8, anyband=True, band_width=BW, f_max=FMAX,
+        l1_scale=4.0,
+    )["train_log"]
+    w = np.asarray([e["w"] for e in log])
+    # frozen slot: constant at softplus(3.0) for every epoch
+    np.testing.assert_allclose(w[:, 2], w[0, 2], rtol=1e-6)
+    np.testing.assert_allclose(w[0, 2], np.log1p(np.exp(3.0)), rtol=1e-5)
+    # head keeps the reference's relative-rebalancing dynamic
+    assert np.abs(np.diff(w[:, 0])).max() > 1e-5
+    np.testing.assert_allclose(w[:, 0] + w[:, 1], 2.0, atol=1e-4)
+
+
 def aligned_features_config():
     """Tiny config satisfying the frame-alignment trick (SSL frames == STFT
     frames, the full-size hop-322 invariant, SURVEY §2.3): 7916 samples,

@@ -577,7 +577,7 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
          "900", "--epochs", "3", "--n-train", "8", "--n-eval", "4",
          "--model-lr", "1e-3", "--artifact-limit", "1",
          "--anyband", "--band-width", "500", "--decoder", "features",
-         "--loss-masking", "log1p", "--l1-scale", "4"]
+         "--loss-masking", "log1p", "--l1-scale", "4", "--freeze-l1-w"]
     )
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["band_hz"] == [400.0, 900.0]
@@ -589,6 +589,8 @@ def test_cli_closed_loop_wiring(monkeypatch, capsys, tmp_path):
     assert seen["anyband"] is True and seen["band_width"] == 500.0
     assert seen["decoder"] == "features"
     assert seen["l1_scale"] == 4.0  # the traced frontier knob
+    # round-5 flag: decouple the learnable-w dynamics from the L1 term
+    assert seen["cfg"].train.freeze_l1_weight is True
     from xai_audio_deepfakes_tpu.config import MaskingConvention
 
     assert seen["cfg"].loss.masking is MaskingConvention.LOG1P

@@ -51,6 +51,30 @@ def test_loss_weights_init_and_renorm():
     )
 
 
+def test_renormalize_w_freeze_last():
+    """TrainConfig.freeze_l1_weight semantics: the last raw entry passes
+    through bit-identical, the head renormalizes among itself to sum
+    len(w)-1 with proportions preserved (decouples the learnable-w
+    feedback from the L1 term — docs/performance.md 4x-scale finding)."""
+    st = LMACLossState.init(LossConfig())
+    w_raw2 = renormalize_w(st.w_raw, freeze_last=True)
+    # frozen slot untouched at the raw-parameter level
+    np.testing.assert_array_equal(
+        np.asarray(w_raw2[-1]), np.asarray(st.w_raw[-1])
+    )
+    w2 = softplus_weights(w_raw2)
+    np.testing.assert_allclose(float(jnp.sum(w2[:-1])), 2.0, atol=1e-5)
+    w1 = softplus_weights(st.w_raw)
+    np.testing.assert_allclose(
+        np.asarray(w2[1] / w2[0]), np.asarray(w1[1] / w1[0]), rtol=1e-5
+    )
+    # idempotent once normalized
+    w_raw3 = renormalize_w(w_raw2, freeze_last=True)
+    np.testing.assert_allclose(
+        np.asarray(w_raw3), np.asarray(w_raw2), atol=1e-5
+    )
+
+
 def test_lmac_loss_formula(rng):
     """Verify total = sum(softplus(w_raw) * [l_in, l_out, l1]) with a linear
     stand-in classifier (analytically checkable)."""

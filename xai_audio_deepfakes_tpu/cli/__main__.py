@@ -59,6 +59,7 @@ def _build_pipeline(args):
             target_quant=getattr(args, "target_quant", "none"),
             target_gelu=getattr(args, "target_gelu", "exact"),
             checkpoint_every=getattr(args, "checkpoint_every", 1),
+            freeze_l1_weight=getattr(args, "freeze_l1_w", False),
         ),
     )
     pipe = ADDvisorPipeline(cfg)
@@ -850,7 +851,10 @@ def cmd_closed_loop(args):
             temporal_blocks=args.feat_temporal_blocks,
             attn_layers=args.feat_attn_layers,
         ),
-        train=TrainConfig(model_lr=args.model_lr),
+        train=TrainConfig(
+            model_lr=args.model_lr,
+            freeze_l1_weight=args.freeze_l1_w,
+        ),
         loss=LossConfig(masking=MaskingConvention(args.loss_masking)),
     )
     os.makedirs(args.out, exist_ok=True)
@@ -1278,11 +1282,22 @@ def main(argv=None):
              "share one compiled train step",
     )
     p.add_argument(
+        "--freeze-l1-w", action="store_true",
+        help="decouple the learnable loss weights from the L1 term: w[2] "
+             "takes no gradient step and is excluded from the post-step "
+             "renorm (l_in/l_out renormalize among themselves to sum 2). "
+             "The 4x-scale l_out oscillation runs through this feedback "
+             "loop (docs/performance.md); default off = exact reference "
+             "dynamics (train_addvisor.py:379-380)",
+    )
+    p.add_argument(
         "--l1-warmup-epochs", type=int, default=0,
         help="ramp --l1-scale linearly from 1.0 (reference formula) over "
-             "this many epochs — stabilizes large-corpus runs where full "
-             "pressure from step 0 makes l_out oscillate (round-5 4x-scale "
-             "finding); host-side scalar swap, zero recompiles",
+             "this many epochs. Measured at 4x scale: the ramp does NOT "
+             "remove the l_out oscillation (same spike statistics as "
+             "immediate pressure — the pressure LEVEL, not the schedule, "
+             "drives it; docs/performance.md). Kept as a scheduling "
+             "primitive; host-side scalar swap, zero recompiles",
     )
     p.add_argument("--artifact-limit", type=int, default=8)
     _mesh_flags(p)

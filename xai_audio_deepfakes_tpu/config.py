@@ -352,6 +352,17 @@ class TrainConfig:
     # Targets shift by quantization noise only; default stays exact.
     target_quant: str = "none"  # "none" | "int8"
     target_gelu: str = "exact"  # "exact" | "tanh"
+    # Decouple the GradNorm-style learnable-w dynamics from the L1 sparsity
+    # term: freeze w[2] at its init value (no gradient step, excluded from
+    # the post-step renorm, which then keeps w[0]+w[1] at their initial
+    # sum). The measured 4x-scale l_out oscillation cycle (docs/
+    # performance.md "Anyband at 4x scale") runs through the learnable
+    # weights — the L1 term squeezes the mask until the flip breaks, the
+    # renorm shifts weight, and the cycle repeats; this knob removes the
+    # L1 side of that feedback while keeping reference semantics for
+    # l_in/l_out. Default False = exact reference behavior
+    # (`train_addvisor.py:379-380` renormalizes all three).
+    freeze_l1_weight: bool = False
 
 
 @dataclass(frozen=True)

@@ -47,13 +47,35 @@ def softplus_weights(w_raw: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softplus(w_raw)
 
 
-def renormalize_w(w_raw: jnp.ndarray) -> jnp.ndarray:
-    """Post-step renorm: w <- w / sum(w) * len(w) (`train_addvisor.py:379-380`),
-    mapped back through softplus^-1 so the raw parameter stays consistent."""
-    w = jax.nn.softplus(w_raw)
-    w = w / jnp.sum(w) * w.shape[0]
+def _softplus_inverse(y: jnp.ndarray) -> jnp.ndarray:
     # softplus^-1(y) = y + log1p(-exp(-y)), numerically safe for y > 0
-    return w + jnp.log1p(-jnp.exp(-jnp.maximum(w, 1e-6)))
+    return y + jnp.log1p(-jnp.exp(-jnp.maximum(y, 1e-6)))
+
+
+def renormalize_w(
+    w_raw: jnp.ndarray, freeze_last: bool = False
+) -> jnp.ndarray:
+    """Post-step renorm: w <- w / sum(w) * len(w) (`train_addvisor.py:379-380`),
+    mapped back through softplus^-1 so the raw parameter stays consistent.
+
+    freeze_last=True (TrainConfig.freeze_l1_weight) excludes the final
+    (L1) weight from the renorm: the last raw entry passes through
+    untouched (bit-identical across steps), and the first entries are
+    renormalized among themselves to sum to len(w)-1 — so l_in/l_out keep
+    the reference's relative-rebalancing dynamic under a fixed per-pair
+    budget, while the L1 weight leaves the feedback loop entirely. (The
+    total is NOT pinned to len(w): the raw init [3.0, 0.5, 3.0] has
+    softplus(3.0) > 1 for the frozen slot, so pinning the total would
+    drive the head budget negative.)"""
+    w = jax.nn.softplus(w_raw)
+    if freeze_last:
+        head = w[:-1]
+        head = head / jnp.sum(head) * (w.shape[0] - 1)
+        return jnp.concatenate(
+            [_softplus_inverse(head), w_raw[-1:]]
+        )
+    w = w / jnp.sum(w) * w.shape[0]
+    return _softplus_inverse(w)
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

@@ -205,10 +205,16 @@ def make_train_step(
 
         upd_m, opt_model = tx_model.update(g_model, state.opt_model, state.unet_params)
         unet_params = optax.apply_updates(state.unet_params, upd_m)
+        if cfg.train.freeze_l1_weight:
+            # decouple the learnable-w feedback from the L1 term: no
+            # gradient step on w_raw[-1] (see TrainConfig.freeze_l1_weight)
+            g_w = g_w.at[-1].set(0.0)
         upd_w, opt_w = tx_w.update(g_w, state.opt_w, state.w_raw)
         w_raw = optax.apply_updates(state.w_raw, upd_w)
         if cfg.train.renorm_loss_w:
-            w_raw = renormalize_w(w_raw)
+            w_raw = renormalize_w(
+                w_raw, freeze_last=cfg.train.freeze_l1_weight
+            )
 
         new_state = AddvisorTrainState(
             unet_params=unet_params,
